@@ -1,0 +1,126 @@
+"""Analyzer (C1) + fused tokenize+tf stage (C2) — SURVEY.md §2.B2/C1-C2.
+
+Frozen spec (FIXTURES.md §2, ANALYZER_VERSION nfkd-lower-lmn-v1):
+    NFKD normalize -> lowercase -> tokens = maximal runs of [\\p{L}\\p{M}\\p{N}]
+    (letters, marks, digits; underscore and punctuation split). No stopwords,
+    no stemming. Empty token lists allowed (dl = 0, matches nothing).
+
+Two implementations that MUST agree (tested in tests/test_analyze.py):
+  * Arrow fast path — pyarrow compute kernels only (utf8_normalize NFKD,
+    utf8_lower, split_pattern_regex): zero per-row Python, used inside the
+    mapInPandas build stage and the pandas_udf surface (BASELINE.json:15).
+    NOTE: pyarrow 16's utf8_normalize composes nothing (NFC/NFKC return
+    decomposed output — verified in-sandbox), hence the NFKD freeze.
+  * Python oracle path — unicodedata + per-char category scan; single-node
+    test/oracle code only, never shipped into a Spark stage.
+
+The reference analyzer analogue is Solr ``text_general`` (StandardTokenizer +
+LowerCaseFilter) [public: Solr]; stopwords are deliberately dropped from the
+engine spec so the DuckDB SQL oracle stays expressible (SURVEY.md §2 C1).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from parser_indexer_spark.config import TOKEN_SPLIT_REGEX
+
+
+# ------------------------------------------------------------ Arrow path ---
+
+def tokenize_arrow(texts: pa.Array) -> pa.ListArray:
+    """string array -> list<string> of tokens (empty strings NOT yet removed;
+    callers filter — split_pattern_regex emits '' at string boundaries)."""
+    norm = pc.utf8_normalize(texts, form="NFKD")
+    low = pc.utf8_lower(norm)
+    return pc.split_pattern_regex(low, TOKEN_SPLIT_REGEX)
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """pandas Series[str] -> Series[list[str]] with empties removed and nulls
+    -> []. Used by the `str_tokens` pandas_udf and small helpers."""
+    arr = pa.array(texts, type=pa.string())
+    toks = tokenize_arrow(arr)
+    flat, _, counts = _flatten(toks)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    la = pa.ListArray.from_arrays(pa.array(offsets), flat)
+    return pd.Series(la.to_pandas().to_numpy(), index=texts.index)
+
+
+def _flatten(toks: pa.ListArray):
+    """ListArray -> (flat token StringArray w/o empties, parent row indices
+    int64 ndarray, per-row token counts int64 ndarray)."""
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    lengths = pc.list_value_length(toks)
+    lengths = pc.fill_null(lengths, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)  # drops null rows' contribution
+    parents = np.repeat(np.arange(len(toks), dtype=np.int64), lengths)
+    keep = pc.fill_null(pc.not_equal(flat, ""), False)
+    keep_np = keep.to_numpy(zero_copy_only=False).astype(bool)
+    flat = flat.filter(keep)
+    parents = parents[keep_np]
+    counts = np.bincount(parents, minlength=len(toks)).astype(np.int64)
+    return flat, parents, counts
+
+
+def tokenize_tf_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: (doc_id:int64, text:str) -> (doc_id, term, tf, dl).
+
+    Fused C1+C2: tokenlize, then collapse to per-(doc, term) tf BEFORE the
+    term shuffle so the shuffle carries tf-rows, not token occurrences
+    (SURVEY.md §2 C2). dl rides along on every tf row (int32) so query-time
+    BM25 needs no norms join (SURVEY.md §2 C8 deviation: exact dl).
+    Vectorized: Arrow kernels + pandas C groupby; no per-row Python.
+    """
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        arr = pa.array(pdf["text"], type=pa.string())
+        flat, parents, counts = _flatten(tokenize_arrow(arr))
+        if len(flat) == 0:
+            continue
+        g = pd.DataFrame({
+            "doc_id": doc_ids[parents],
+            "term": flat.to_pandas(),
+            "dl": counts[parents].astype(np.int32),
+        })
+        tf = (
+            g.groupby(["doc_id", "term"], sort=False)
+            .agg(tf=("term", "size"), dl=("dl", "first"))
+            .reset_index()
+        )
+        tf["tf"] = tf["tf"].astype(np.int32)
+        yield tf[["doc_id", "term", "tf", "dl"]]
+
+
+TOKENIZE_TF_SCHEMA = "doc_id long, term string, tf int, dl int"
+
+
+# ----------------------------------------------------------- Python oracle ---
+
+def tokenize_py(text: str) -> List[str]:
+    """Single-node oracle tokenizer; must agree with tokenize_arrow exactly.
+    Per-char category scan == runs of [\\p{L}\\p{M}\\p{N}]."""
+    if text is None:
+        return []
+    s = unicodedata.normalize("NFKD", text).lower()
+    out: List[str] = []
+    cur: List[str] = []
+    for ch in s:
+        if unicodedata.category(ch)[0] in ("L", "M", "N"):
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out

@@ -1,0 +1,124 @@
+"""Posting-block codecs: delta (gap) encoding + FOR bit-packing + LEB128
+varint — all vectorized numpy, zero per-integer Python loops
+(BASELINE.json:15 "no per-row Python"; SURVEY.md §2 C4-C5, §7 hard-part 4).
+
+Design point (public): Lucene's Lucene50/90 PostingsFormat packs 128-posting
+blocks with PackedInts FOR (frame-of-reference bit-packing) and a vint tail;
+the classic alternative is PForDelta (Zukowski et al. 2006; Lemire & Boytsov
+2015).  v1 here implements exact-width FOR per block (no patch exceptions —
+with <=128-entry blocks the patch win is small) plus a varint codec kept for
+format evolution; the codec id is the first byte of every payload so formats
+can coexist shard-by-shard.
+
+Wire format of an encoded array (bytes):
+    [0] codec id: b'F' (FOR) | b'V' (varint)
+    FOR:    [1] bit width w (1..64), then ceil(n*w/8) bytes of
+            np.packbits(little-endian-per-value bit matrix) — n is stored
+            externally (the block's num_docs column).
+    varint: LEB128 stream, 7 bits per byte, continuation bit 0x80.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_VARINT_THRESH = (np.uint64(1) << (np.arange(1, 10, dtype=np.uint64) * np.uint64(7)))
+_SHIFTS10 = np.arange(10, dtype=np.uint64) * np.uint64(7)
+
+
+# ---------------------------------------------------------------- varint ---
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized: byte-width by 9 threshold
+    comparisons, a (n,10) byte matrix, then a mask flatten."""
+    v = np.ascontiguousarray(vals, dtype=_U64)
+    if v.size == 0:
+        return b"V"
+    nbytes = 1 + (v[:, None] >= _VARINT_THRESH[None, :]).sum(axis=1)
+    mat = ((v[:, None] >> _SHIFTS10[None, :]) & _U64(0x7F)).astype(np.uint8)
+    pos = np.arange(10)[None, :]
+    mat |= (pos < (nbytes[:, None] - 1)).astype(np.uint8) << 7
+    out = mat[pos < nbytes[:, None]]
+    return b"V" + out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    if buf[:1] != b"V":
+        raise ValueError(f"not a varint payload: {buf[:1]!r}")
+    b = np.frombuffer(buf, dtype=np.uint8, offset=1)
+    if b.size == 0:
+        return np.empty(0, dtype=_U64)
+    term = (b & 0x80) == 0
+    if not term[-1]:
+        raise ValueError("truncated varint stream")
+    ends = np.flatnonzero(term)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    idx = np.arange(b.size)
+    gid = np.searchsorted(ends, idx)
+    off = (idx - starts[gid]).astype(_U64)
+    contrib = (b & 0x7F).astype(_U64) << (off * _U64(7))
+    return np.add.reduceat(contrib, starts).astype(_U64)
+
+
+# ------------------------------------------------------------------- FOR ---
+
+def for_encode(vals: np.ndarray) -> bytes:
+    """Frame-of-reference bit-pack a uint64 array at the exact max bit width.
+    n is NOT stored (caller persists it as the block's num_docs)."""
+    v = np.ascontiguousarray(vals, dtype=_U64)
+    if v.size == 0:
+        return b"F\x01"
+    mx = int(v.max())
+    width = max(1, mx.bit_length())
+    shifts = np.arange(width, dtype=_U64)
+    # little-endian bit order within each value; packbits big-endian over the
+    # flattened stream — symmetric with unpackbits below, so it round-trips.
+    bits = ((v[:, None] >> shifts[None, :]) & _U64(1)).astype(np.uint8)
+    return b"F" + bytes([width]) + np.packbits(bits.ravel()).tobytes()
+
+
+def for_decode(buf: bytes, n: int) -> np.ndarray:
+    if buf[:1] != b"F":
+        raise ValueError(f"not a FOR payload: {buf[:1]!r}")
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    width = buf[1]
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8, offset=2),
+                         count=n * width).reshape(n, width).astype(_U64)
+    shifts = np.arange(width, dtype=_U64)
+    return (bits << shifts[None, :]).sum(axis=1, dtype=_U64)
+
+
+# --------------------------------------------------------------- generic ---
+
+def decode(buf: bytes, n: int) -> np.ndarray:
+    tag = buf[:1]
+    if tag == b"F":
+        return for_decode(buf, n)
+    if tag == b"V":
+        out = varint_decode(buf)
+        if out.size != n:
+            raise ValueError(f"varint payload has {out.size} values, expected {n}")
+        return out
+    raise ValueError(f"unknown codec id {tag!r}")
+
+
+# ----------------------------------------------------------------- delta ---
+
+def delta_encode(doc_ids: np.ndarray, base: int) -> np.ndarray:
+    """Gaps of a strictly-increasing doc_id run, relative to ``base`` (the
+    block's first_doc_id => gaps[0] == 0). SURVEY.md §2 C4."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    gaps = np.diff(d, prepend=np.int64(base))
+    if gaps.size and gaps[1:].min(initial=1) <= 0:
+        raise ValueError("doc_ids not strictly increasing")
+    return gaps.astype(_U64)
+
+
+def delta_decode(gaps: np.ndarray, base: int) -> np.ndarray:
+    """Inverse of delta_encode: doc_ids = base + cumsum(gaps)."""
+    g = gaps.astype(np.int64, copy=False)
+    return (np.cumsum(g) + np.int64(base)).astype(np.int64)

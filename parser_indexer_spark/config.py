@@ -1,0 +1,76 @@
+"""Frozen engine constants + per-build configuration.
+
+The scoring constants and analyzer version are contractual (FIXTURES.md §2-3,
+SURVEY.md §2 D6): golden fixtures are generated against exactly these values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# --- BM25 constants (public: Lucene BM25Similarity defaults; FIXTURES.md §3) ---
+BM25_K1: float = 1.2
+BM25_B: float = 0.75
+
+# --- Analyzer (FIXTURES.md §2; frozen) ---
+# NFKD normalize -> lowercase -> tokens = maximal runs of [\p{L}\p{M}\p{N}].
+# (pyarrow 16's utf8_normalize only implements the decomposing forms
+# correctly, so the frozen form is NFKD; marks \p{M} are kept inside tokens
+# so decomposed accents do not split words.)
+ANALYZER_VERSION: str = "nfkd-lower-lmn-v1"
+TOKEN_SPLIT_REGEX: str = r"[^\p{L}\p{M}\p{N}]+"  # RE2 syntax (pyarrow / DuckDB)
+
+# --- Index layout (SURVEY.md §1.2) ---
+# bucket = crc32(term) % n_buckets   -> Parquet/Iceberg partition column
+#                                       (query-time partition pruning, D2)
+# chunk  = doc_id >> chunk_bits      -> doc-range grid; posting blocks never
+#                                       cross a chunk boundary, so every
+#                                       term's blocks align to the same grid
+#                                       and AND-intersection co-locates by a
+#                                       single shuffle on `chunk` (D4).
+# block  = <=block_size postings, delta-encoded doc gaps + tf + dl, each
+#          FOR-bit-packed (C3-C6).
+CODEC_VERSION: str = "delta-for-v1"
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Per-index configuration, persisted in the index manifest (C12/C13)."""
+
+    n_buckets: int = 16           # term-hash partitions (scale: 256-4096)
+    block_size: int = 128          # max postings per block (Lucene-style)
+    chunk_bits: int = 16           # docs per chunk = 2**chunk_bits
+    build_partitions: int = 32     # shuffle width for the build (scale: >>)
+    salt_df_threshold: int = 100_000  # terms with df above this get salted
+    n_salts: int = 8               # doc-range salt fan-out for head terms
+    k1: float = BM25_K1
+    b: float = BM25_B
+    analyzer_version: str = ANALYZER_VERSION
+    codec_version: str = CODEC_VERSION
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def chunk_size(self) -> int:
+        return 1 << self.chunk_bits
+
+    def to_dict(self) -> dict:
+        return {
+            "n_buckets": self.n_buckets,
+            "block_size": self.block_size,
+            "chunk_bits": self.chunk_bits,
+            "build_partitions": self.build_partitions,
+            "salt_df_threshold": self.salt_df_threshold,
+            "n_salts": self.n_salts,
+            "k1": self.k1,
+            "b": self.b,
+            "analyzer_version": self.analyzer_version,
+            "codec_version": self.codec_version,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EngineConfig":
+        known = {k: d[k] for k in (
+            "n_buckets", "block_size", "chunk_bits", "build_partitions",
+            "salt_df_threshold", "n_salts", "k1", "b",
+            "analyzer_version", "codec_version") if k in d}
+        return cls(**known)
