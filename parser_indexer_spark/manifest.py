@@ -1,0 +1,110 @@
+"""Index catalog: paths, manifest, lineage, resume bookkeeping (C12-C13).
+
+Layout (SURVEY.md §1.2/§7 M8 — Iceberg-style semantics on partitioned
+Parquet; the sandbox has no Iceberg runtime jar, so the `Catalog` here
+emulates snapshot/lineage with a manifest-written-last protocol. On a real
+deployment the same layout maps 1:1 onto an Iceberg table with identity
+partitioning on (seg, bucket); the swap is config-only):
+
+    <out>/docs/seg=NNN/*.parquet        stored fields (doc_id.. text)
+    <out>/docs/_built.json              phase-A completion marker + lineage
+    <out>/postings/seg=NNN/bucket=BB/   posting blocks (one dir per segment)
+    <out>/segments/seg-NNN.json         per-segment manifest row (metrics)
+    <out>/dict/bucket=BB/               term dictionary (term, df, cf)
+    <out>/stats.json                    corpus stats (N, sum_dl, avg_dl, ...)
+    <out>/_manifest.json                final atomic commit (written LAST;
+                                        readers require it)
+
+Readers only trust segments listed in a manifest (the final one, or the
+per-segment rows during resume), so a crashed partial write is invisible —
+the same reader-side contract as an Iceberg snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from parser_indexer_spark.config import EngineConfig
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def docs(self) -> str:
+        return os.path.join(self.root, "docs")
+
+    @property
+    def docs_marker(self) -> str:
+        return os.path.join(self.docs, "_built.json")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    def postings_seg(self, seg: int) -> str:
+        return os.path.join(self.postings, f"seg={seg}")
+
+    @property
+    def segments_dir(self) -> str:
+        return os.path.join(self.root, "segments")
+
+    def segment_manifest(self, seg: int) -> str:
+        return os.path.join(self.segments_dir, f"seg-{seg:05d}.json")
+
+    @property
+    def dict(self) -> str:
+        return os.path.join(self.root, "dict")
+
+    @property
+    def stats(self) -> str:
+        return os.path.join(self.root, "stats.json")
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+
+def write_json(path: str, obj: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True, default=str)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def read_json(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_manifest(root: str) -> dict:
+    p = IndexPaths(root)
+    if not os.path.exists(p.manifest):
+        raise FileNotFoundError(
+            f"no committed index at {root} (missing _manifest.json)")
+    return read_json(p.manifest)
+
+
+def load_config(root: str) -> EngineConfig:
+    return EngineConfig.from_dict(load_manifest(root)["config"])
+
+
+def completed_segments(root: str) -> list[int]:
+    """Per-segment manifest rows present on disk (resume bookkeeping)."""
+    p = IndexPaths(root)
+    if not os.path.isdir(p.segments_dir):
+        return []
+    out = []
+    for name in sorted(os.listdir(p.segments_dir)):
+        if name.startswith("seg-") and name.endswith(".json"):
+            out.append(int(name[4:-5]))
+    return out
+
+
+def now() -> float:
+    return time.time()

@@ -1,0 +1,242 @@
+"""Query engine (D1-D9) — SURVEY.md §2.D, §3.2.
+
+Reference path: HTTP /select -> Solr SearchHandler -> Lucene QueryParser ->
+BM25 Weight/Scorer with WAND -> TopScoreDocCollector [public: Solr/Lucene].
+Engine path:
+
+  driver   analyze query with the engine analyzer (D1) -> bucket set ->
+           df/idf from the dict table (partition-pruned read, D2) ->
+           stats.json gives N, avgdl
+  plan     postings filter: bucket ISIN (partition pruning) + term ISIN
+           (Parquet row-group pruning via min/max on the sorted term column)
+  shuffle  repartition(chunk): every term's blocks for one doc-range chunk
+           co-locate (blocks are chunk-aligned by construction, C3), so
+           intersection/union is partition-local — ONE small shuffle of
+           compressed blocks, never of raw postings
+  executor mapInPandas scoring: FOR/varint decode (D3), chunk-grid leapfrog
+           intersection (D4) / union (D5), exact-dl BM25 (D6), per-partition
+           top-k heap with block-max-WAND chunk skipping (D7/D8)
+  driver   global orderBy(score desc, doc_id asc).limit(k) over <=k rows per
+           partition (deterministic total order => rank-identical across
+           parallelism levels)
+
+Scores are float64, accumulated in sorted-unique-term order (frozen,
+FIXTURES.md §3) so engine == oracle bit-for-bit modulo the documented
+1e-12 pruning epsilon.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from parser_indexer_spark.analyze import tokenize_py
+from parser_indexer_spark.build import read_dict, read_docs, read_postings, term_bucket
+from parser_indexer_spark.codec import decode, delta_decode
+from parser_indexer_spark.config import EngineConfig
+from parser_indexer_spark.manifest import load_manifest, read_json, IndexPaths
+
+_PRUNE_EPS = 1e-12  # float-safety margin on the WAND skip test (see §7 hp-3)
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+class Index:
+    """Handle over a committed index directory (reads _manifest.json)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.manifest = load_manifest(root)
+        self.cfg = EngineConfig.from_dict(self.manifest["config"])
+        self.stats = read_json(IndexPaths(root).stats)
+        self._dict_cache: dict[str, int] = {}
+
+    # ----------------------------------------------------------- lookup ---
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        """df per term (broadcast-sized driver-side lookup with caching)."""
+        missing = [t for t in terms if t not in self._dict_cache]
+        if missing:
+            buckets = sorted({term_bucket(t, self.cfg.n_buckets) for t in missing})
+            rows = (read_dict(self.spark, self.root)
+                    .where(F.col("bucket").isin(buckets))
+                    .where(F.col("term").isin(missing))
+                    .select("term", "df").collect())
+            found = {r["term"]: r["df"] for r in rows}
+            for t in missing:
+                self._dict_cache[t] = int(found.get(t, 0))
+        return {t: self._dict_cache[t] for t in terms}
+
+    # ----------------------------------------------------------- search ---
+    def search(self, query: str, k: int = 10, mode: str = "OR",
+               doc_filter: Optional[str] = None, prune: bool = True,
+               score_partitions: Optional[int] = None) -> DataFrame:
+        """Top-k BM25. Returns DataFrame (doc_id long, score double), ordered
+        by (score desc, doc_id asc), <= k rows.
+
+        doc_filter: SQL boolean expression over the docs table's attribute
+        columns (conv_id, turn_idx, role, tool, ts) — Solr fq semantics (D9):
+        restricts candidates, does not change scores.
+        """
+        terms = sorted(set(tokenize_py(query)))
+        spark = self.spark
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not terms:
+            return empty
+        dfs = self.term_stats(terms)
+        terms = [t for t in terms if dfs[t] > 0]
+        if not terms or (mode == "AND" and any(dfs[t] == 0 for t in terms)):
+            return empty
+        n_docs = self.stats["n_docs"]
+        avg_dl = self.stats["avg_dl"]
+        idf = {t: bm25_idf(n_docs, dfs[t]) for t in terms}
+
+        buckets = sorted({term_bucket(t, self.cfg.n_buckets) for t in terms})
+        blocks = (
+            read_postings(spark, self.root)
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(terms))
+            .select("term", "chunk", "first_doc_id", "num_docs",
+                    "max_tf", "min_dl", "docs_enc", "tfs_enc", "dls_enc")
+        )
+        truncate = doc_filter is None
+        np_parts = score_partitions or min(32, max(4, len(buckets) * 2))
+        scorer = _make_scorer(
+            terms=terms, idf=idf, k1=self.cfg.k1, b=self.cfg.b,
+            avg_dl=avg_dl, k=k, mode=mode, prune=prune and truncate,
+            truncate=truncate,
+        )
+        cand = (
+            blocks.repartition(np_parts, "chunk")
+                  .mapInPandas(scorer, "doc_id long, score double")
+        )
+        if doc_filter is not None:
+            allowed = (read_docs(spark, self.root)
+                       .where(doc_filter).select("doc_id"))
+            cand = cand.join(allowed, "doc_id", "left_semi")
+        return cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def fetch(self, topk: DataFrame) -> DataFrame:
+        """A6 doc-store fetch: join top-k ids back to stored fields; the
+        k-row side is broadcast so no shuffle of the doc store happens."""
+        docs = read_docs(self.spark, self.root)
+        return (docs.join(F.broadcast(topk), "doc_id")
+                    .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate):
+    """Build the mapInPandas scoring function. Rows may arrive in any order;
+    the scorer buffers the partition's compressed blocks and processes chunks
+    in ascending order (all blocks of a chunk are co-located by the chunk
+    repartition)."""
+    terms_sorted = list(terms)  # already sorted unique
+    idf_arr = {t: float(idf[t]) for t in terms_sorted}
+    m = len(terms_sorted)
+
+    def tf_norm(tf, dl):
+        return tf / (tf + k1 * (1.0 - b + b * dl / avg_dl))
+
+    def score_chunk(rows: pd.DataFrame, heap_docs, heap_scores):
+        """rows: all block rows of ONE chunk. Returns updated heap arrays."""
+        theta = heap_scores[-1] if truncate and len(heap_scores) == k else None
+        present = rows["term"].to_numpy()
+        uniq_terms = pd.unique(present)
+        if mode == "AND" and len(uniq_terms) < m:
+            return heap_docs, heap_scores
+        if prune and theta is not None:
+            ub = 0.0
+            for t in terms_sorted:
+                sel = rows[rows["term"].to_numpy() == t]
+                if len(sel) == 0:
+                    continue
+                mt = sel["max_tf"].to_numpy(dtype=np.float64)
+                md = sel["min_dl"].to_numpy(dtype=np.float64)
+                ub += idf_arr[t] * float(np.max(tf_norm(mt, md)))
+            if ub < theta - _PRUNE_EPS * max(1.0, abs(theta)):
+                return heap_docs, heap_scores  # block-max WAND skip (D8)
+
+        per_term = {}
+        for t in terms_sorted:
+            sel = rows[rows["term"].to_numpy() == t]
+            if len(sel) == 0:
+                continue
+            ds, ts_, ls = [], [], []
+            for r in sel.itertuples():
+                n = int(r.num_docs)
+                ds.append(delta_decode(decode(r.docs_enc, n), int(r.first_doc_id)))
+                ts_.append(decode(r.tfs_enc, n).astype(np.float64))
+                ls.append(decode(r.dls_enc, n).astype(np.float64))
+            d = np.concatenate(ds)
+            # blocks of a salted term interleave doc ranges (two salt groups
+            # of one term may share a build partition and emit one merged run
+            # that skips the middle salt's range) — re-sort after decode.
+            order = np.argsort(d)
+            per_term[t] = (d[order], np.concatenate(ts_)[order],
+                           np.concatenate(ls)[order])
+
+        if mode == "AND":
+            if len(per_term) < m:
+                return heap_docs, heap_scores
+            common = None
+            for t in terms_sorted:
+                d = per_term[t][0]
+                common = d if common is None else common[np.isin(common, d, assume_unique=True)]
+                if common.size == 0:
+                    return heap_docs, heap_scores
+            total = np.zeros(common.size, dtype=np.float64)
+            for t in terms_sorted:  # frozen accumulation order
+                d, tf, dl = per_term[t]
+                pos = np.searchsorted(d, common)
+                total += idf_arr[t] * tf_norm(tf[pos], dl[pos])
+            docs_out, scores_out = common, total
+        else:
+            all_docs = np.unique(np.concatenate([per_term[t][0] for t in per_term]))
+            total = np.zeros(all_docs.size, dtype=np.float64)
+            for t in terms_sorted:  # frozen accumulation order
+                if t not in per_term:
+                    continue
+                d, tf, dl = per_term[t]
+                pos = np.searchsorted(all_docs, d)
+                total[pos] += idf_arr[t] * tf_norm(tf, dl)
+            docs_out, scores_out = all_docs, total
+
+        if not truncate:
+            heap_docs.append(docs_out)
+            heap_scores.append(scores_out)
+            return heap_docs, heap_scores
+        # merge into running top-k: (score desc, doc_id asc)
+        cd = np.concatenate([heap_docs, docs_out]) if len(heap_docs) else docs_out
+        cs = np.concatenate([heap_scores, scores_out]) if len(heap_scores) else scores_out
+        order = np.lexsort((cd, -cs))[:k]
+        return cd[order], cs[order]
+
+    def scorer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Buffer the partition's (compressed) blocks, then score chunk by
+        chunk in ascending chunk order — deterministic and independent of the
+        physical row order, with θ improving monotonically for WAND."""
+        if truncate:
+            hd = np.empty(0, dtype=np.int64)
+            hs = np.empty(0, dtype=np.float64)
+        else:
+            hd, hs = [], []
+        parts = [pdf for pdf in batches if not pdf.empty]
+        if parts:
+            allrows = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            for _, rows in allrows.groupby("chunk", sort=True):
+                hd, hs = score_chunk(rows, hd, hs)
+        if truncate:
+            out_d, out_s = hd, hs
+        else:
+            out_d = np.concatenate(hd) if hd else np.empty(0, np.int64)
+            out_s = np.concatenate(hs) if hs else np.empty(0, np.float64)
+        yield pd.DataFrame({"doc_id": out_d.astype(np.int64),
+                            "score": out_s.astype(np.float64)})
+
+    return scorer
