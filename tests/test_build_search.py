@@ -1,0 +1,177 @@
+"""M3-M6 tests — SURVEY.md §5.3-5.6: text-equality invariant, index
+structure, BM25 oracle parity, BMW ≡ exhaustive, filters, salting."""
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from parser_indexer_spark import codec
+from parser_indexer_spark.build import build_index, read_docs, read_postings, term_bucket
+from parser_indexer_spark.config import EngineConfig
+from parser_indexer_spark.oracle import OracleIndex
+from parser_indexer_spark.search import Index
+from parser_indexer_spark.transcripts import synthesize_pandas
+
+N_TURNS = 2000
+CFG = EngineConfig(n_buckets=8, build_partitions=8, salt_df_threshold=500,
+                   n_salts=4, chunk_bits=9)
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    pdf = synthesize_pandas(N_TURNS)
+    return pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="session")
+def index_dir(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index") / "t_tiny")
+    df = spark.createDataFrame(corpus.sample(frac=1.0, random_state=7))  # shuffled input
+    build_index(spark, df, out, CFG, segments=2, input_desc="t_tiny")
+    return out
+
+
+@pytest.fixture(scope="session")
+def oracle(corpus):
+    return OracleIndex(range(len(corpus)), corpus["text"].tolist())
+
+
+@pytest.fixture(scope="session")
+def engine(spark, index_dir):
+    return Index(spark, index_dir)
+
+
+# ------------------------------------------------- §5.3 invariant ----------
+
+def test_per_turn_text_equality(spark, corpus, index_dir):
+    """Doc store ordered by (conv_id, turn_idx) is row-identical (text
+    byte-equal) to the source — BASELINE.json:15."""
+    docs = (read_docs(spark, index_dir)
+            .orderBy("conv_id", "turn_idx")
+            .select("conv_id", "turn_idx", "text").toPandas())
+    src = corpus[["conv_id", "turn_idx", "text"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(docs, src)
+
+
+def test_doc_ids_match_order(spark, index_dir):
+    docs = read_docs(spark, index_dir).select("doc_id", "conv_id", "turn_idx") \
+        .orderBy("doc_id").toPandas()
+    assert docs["doc_id"].tolist() == list(range(len(docs)))
+    keys = list(zip(docs["conv_id"], docs["turn_idx"]))
+    assert keys == sorted(keys)
+
+
+# ------------------------------------------------- §5.4 structure ----------
+
+def _all_blocks(index_dir):
+    import re
+    import pyarrow.parquet as pq
+    files = glob.glob(f"{index_dir}/postings/seg=*/bucket=*/*.parquet")
+    parts = []
+    for f in files:
+        b = int(re.search(r"bucket=(\d+)", f).group(1))
+        parts.append(pq.read_table(f).to_pandas().assign(bucket=b))
+    return pd.concat(parts, ignore_index=True)
+
+
+def test_postings_structure(index_dir, oracle):
+    t = _all_blocks(index_dir)
+    # chunk alignment + block size cap
+    assert (t["num_docs"] <= CFG.block_size).all()
+    f = t["first_doc_id"].to_numpy() >> CFG.chunk_bits
+    l = t["last_doc_id"].to_numpy() >> CFG.chunk_bits
+    assert (f == t["chunk"].to_numpy()).all() and (l == t["chunk"].to_numpy()).all()
+    # bucket correctness
+    assert all(term_bucket(r.term, CFG.n_buckets) == r.bucket
+               for r in t.sample(min(500, len(t)), random_state=1).itertuples())
+    # per-term: docs unique, ascending in-block, metadata true
+    for term, g in t.groupby("term"):
+        docs, tfs = [], []
+        for r in g.itertuples():
+            d = codec.delta_decode(codec.decode(r.docs_enc, r.num_docs), r.first_doc_id)
+            tf = codec.decode(r.tfs_enc, r.num_docs)
+            dl = codec.decode(r.dls_enc, r.num_docs)
+            assert d[0] == r.first_doc_id and d[-1] == r.last_doc_id
+            assert (np.diff(d) > 0).all()
+            assert tf.max() == r.max_tf and dl.min() == r.min_dl
+            assert tf.sum() == r.sum_tf
+            docs.append(d); tfs.append(tf)
+        alld = np.concatenate(docs)
+        assert len(np.unique(alld)) == len(alld), f"dup docs for {term}"
+        # df/cf match the single-node oracle's recount
+        assert len(alld) == oracle.df[term]
+        assert int(np.concatenate(tfs).sum()) == int(oracle.cf[term])
+
+
+def test_dict_and_stats(spark, index_dir, oracle, engine):
+    st = engine.stats
+    assert st["n_docs"] == oracle.n_docs
+    assert st["sum_dl"] == oracle.sum_dl
+    assert abs(st["avg_dl"] - oracle.avg_dl) < 1e-12
+    d = spark.read.parquet(f"{index_dir}/dict").toPandas()
+    assert len(d) == len(oracle.df)
+    got = dict(zip(d["term"], d["df"]))
+    assert got == oracle.df
+
+
+def test_salting_was_exercised(engine):
+    assert any(s["n_hot_terms_salted"] > 0 for s in engine.manifest["segments"]), \
+        "Zipf corpus must trigger head-term salting (C11)"
+
+
+# ------------------------------------------------- §5.5 BM25 parity --------
+
+QUERIES = [
+    ("spark", "OR"), ("w1999", "OR"), ("zzzunseen", "OR"),
+    ("spark join", "OR"), ("sort merge", "OR"),
+    ("spark join", "AND"), ("hash agg", "AND"),
+    ("spark w0042 filter", "OR"), ("window partition order", "AND"),
+    ("SPARK, Join!", "OR"), ("join join join", "OR"), ("w0000 w0001", "OR"),
+]
+
+
+@pytest.mark.parametrize("q,mode", QUERIES)
+def test_bm25_rank_identical(engine, oracle, q, mode):
+    got = [(r.doc_id, r.score) for r in engine.search(q, k=10, mode=mode).collect()]
+    exp = oracle.search(q, k=10, mode=mode)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-6)
+
+
+def test_k_exceeds_matches(engine, oracle):
+    got = [(r.doc_id, r.score) for r in engine.search("w1999", k=1000).collect()]
+    exp = oracle.search("w1999", k=1000)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+
+
+# ------------------------------------------------- §5.6 BMW ≡ exhaustive ---
+
+@pytest.mark.parametrize("q,mode", QUERIES[:8])
+def test_bmw_equals_exhaustive(engine, q, mode):
+    a = [(r.doc_id, r.score) for r in engine.search(q, k=10, mode=mode, prune=True).collect()]
+    b = [(r.doc_id, r.score) for r in engine.search(q, k=10, mode=mode, prune=False).collect()]
+    assert a == b
+
+
+# ------------------------------------------------- D9 filters --------------
+
+def test_filter_role(spark, engine, oracle, corpus):
+    got = [(r.doc_id, r.score) for r in
+           engine.search("spark join", k=10, doc_filter="role = 'assistant'").collect()]
+    allowed = set(corpus.index[corpus["role"] == "assistant"])
+    exp = [(d, s) for d, s in oracle.search("spark join", k=10**9) if d in allowed][:10]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-6)
+
+
+def test_fetch_stored_fields(engine, corpus):
+    top = engine.search("spark join", k=5)
+    rows = engine.fetch(top).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.text == corpus.loc[r.doc_id, "text"]
