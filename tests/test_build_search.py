@@ -15,33 +15,7 @@ from parser_indexer_spark.oracle import OracleIndex
 from parser_indexer_spark.search import Index
 from parser_indexer_spark.transcripts import synthesize_pandas
 
-N_TURNS = 2000
-CFG = EngineConfig(n_buckets=8, build_partitions=8, salt_df_threshold=500,
-                   n_salts=4, chunk_bits=9)
-
-
-@pytest.fixture(scope="session")
-def corpus():
-    pdf = synthesize_pandas(N_TURNS)
-    return pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
-
-
-@pytest.fixture(scope="session")
-def index_dir(spark, corpus, tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("index") / "t_tiny")
-    df = spark.createDataFrame(corpus.sample(frac=1.0, random_state=7))  # shuffled input
-    build_index(spark, df, out, CFG, segments=2, input_desc="t_tiny")
-    return out
-
-
-@pytest.fixture(scope="session")
-def oracle(corpus):
-    return OracleIndex(range(len(corpus)), corpus["text"].tolist())
-
-
-@pytest.fixture(scope="session")
-def engine(spark, index_dir):
-    return Index(spark, index_dir)
+from conftest import T_TINY_CFG as CFG  # shared t_tiny index params
 
 
 # ------------------------------------------------- §5.3 invariant ----------
