@@ -1,38 +1,258 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship top-k BM25 over sf0.001 documents (index built by
+                 the engine, scored distributed, verified vs DuckDB SQL BM25).
+queries()     -> one entry per implemented operator (SURVEY.md §2.E + the
+                 fulltext path §2.C/D + training-data ops).
+oracle_sql()  -> DuckDB-runnable ANSI SQL equivalents (same column aliases;
+                 floats made deterministic via decimal-exact sums/rounding —
+                 see parser_indexer_spark/relops.py docstring).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from parser_indexer_spark import relops
+from parser_indexer_spark.build import build_index
+from parser_indexer_spark.config import EngineConfig
+from parser_indexer_spark.search import Index
+
+_INDEX_CACHE_ROOT = "/tmp/parser_indexer_spark_cache"
+_FLAGSHIP_QUERY = "spark join"
+_FLAGSHIP_K = 10
+
+
+def _documents_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Build (once per sf_dir) the inverted index over testdata documents;
+    reuses the committed index on subsequent calls (C12 resume semantics)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(_INDEX_CACHE_ROOT, key)
+    try:
+        return Index(spark, out)
+    except FileNotFoundError:
+        pass
+    shutil.rmtree(out, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = EngineConfig(n_buckets=8, build_partitions=16,
+                       salt_df_threshold=100_000, n_salts=4, chunk_bits=12)
+    build_index(spark, docs, out, cfg, segments=1, doc_id_col="doc_id",
+                input_desc=f"{sf_dir}/documents.parquet")
+    return Index(spark, out)
+
+
+def topk_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = _documents_index(spark, sf_dir)
+    top = ix.search(_FLAGSHIP_QUERY, k=_FLAGSHIP_K, mode="OR")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def topk_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = _documents_index(spark, sf_dir)
+    top = ix.search("hash agg scan", k=_FLAGSHIP_K, mode="AND")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def term_dict_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index dictionary (C7): df/cf per term, recomputable in SQL."""
+    ix = _documents_index(spark, sf_dir)
+    from parser_indexer_spark.build import read_dict
+    return read_dict(spark, ix.root).select("term", "df", "cf")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return topk_bm25(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # fulltext index + BM25 path (SURVEY.md §2.C/D — the north rule)
+        "topk_bm25": topk_bm25,
+        "topk_bm25_and": topk_bm25_and,
+        "term_dict_stats": term_dict_stats,
+        # relational coverage (SURVEY.md §2.E)
+        "project_filter": relops.project_filter,
+        "join_broadcast": relops.join_broadcast,
+        "join_sortmerge": relops.join_sortmerge,
+        "join_semi": relops.join_semi,
+        "join_anti": relops.join_anti,
+        "agg_stats": relops.agg_stats,
+        "facet_count": relops.facet_count,
+        "agg_distinct": relops.agg_distinct,
+        "cube_lang_source": relops.cube_lang_source,
+        "window_rank": relops.window_rank,
+        "window_lag_frame": relops.window_lag_frame,
+        "topk_orders": relops.topk_orders,
+        "setop_union": relops.setop_union,
+        "setop_except": relops.setop_except,
+        "str_tokens": relops.str_tokens,
+        "date_trunc_agg": relops.date_trunc_agg,
+        "array_explode_tf": relops.array_explode_tf,
+        "json_extract": relops.json_extract,
+        # training-data pipeline ops
+        "dedup_exact": relops.dedup_exact,
+        "minhash_signature": relops.minhash_signature,
+        "ann_cosine": relops.ann_cosine,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOK = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> '')")
+
+
+def _bm25_sql(terms_sql: str, mode: str, k: int) -> str:
+    """DuckDB BM25 over documents: same formula, exact dl, k1=1.2 b=0.75."""
+    having = "" if mode == "OR" else \
+        f"HAVING count(*) = (SELECT count(*) FROM qterms)"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl) AS sum_dl
+),
+qterms AS (SELECT unnest([{terms_sql}]) AS term),
+tfs AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         sum( ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                        / (st.sum_dl * 1.0 / st.n_docs))) ) AS score
+  FROM tfs t JOIN dfs d USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY t.doc_id
+  {having}
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY scored.score DESC, doc_id LIMIT {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "topk_bm25": _bm25_sql("'join', 'spark'", "OR", _FLAGSHIP_K),
+        "topk_bm25_and": _bm25_sql("'agg', 'hash', 'scan'", "AND", _FLAGSHIP_K),
+        "term_dict_stats": f"""
+            SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+              GROUP BY doc_id, term)
+            GROUP BY term""",
+        "project_filter": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars > 200""",
+        "join_broadcast": """
+            SELECT o_orderpriority, count(*) AS n_items,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""",
+        "join_sortmerge": """
+            SELECT p_brand, count(*) AS n_items,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand""",
+        "join_semi": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+        "join_anti": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+        "agg_stats": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type""",
+        "facet_count": """
+            SELECT lang, source, count(*) AS n FROM documents
+            GROUP BY lang, source""",
+        "agg_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type""",
+        "cube_lang_source": """
+            SELECT lang, source, count(*) AS n FROM documents
+            GROUP BY CUBE (lang, source)""",
+        "window_rank": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+              FROM orders) WHERE rnk <= 3""",
+        "window_lag_frame": """
+            SELECT event_id, user_id,
+                   value - lag(value) OVER w AS delta,
+                   CAST(sum(CAST(value AS DECIMAL(28,10)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS moving3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+        "setop_union": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            UNION
+            SELECT o_custkey FROM orders WHERE o_totalprice > 100000""",
+        "setop_except": """
+            SELECT c_custkey FROM customer
+            EXCEPT SELECT o_custkey FROM orders""",
+        "str_tokens": f"""
+            SELECT term, count(*) AS n_occurrences
+            FROM (SELECT unnest({_TOK}) AS term FROM documents)
+            GROUP BY term""",
+        "date_trunc_agg": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                   count(*) AS n
+            FROM events GROUP BY 1""",
+        "array_explode_tf": f"""
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            GROUP BY doc_id, term""",
+        "json_extract": """
+            SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) % 10 AS k_mod,
+                   count(*) AS n
+            FROM events GROUP BY 1""",
+        "dedup_exact": """
+            SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
+            FROM documents GROUP BY 1""",
+        "minhash_signature": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i
+                    FROM tok WHERE len(toks) >= 3)
+            )
+            SELECT doc_id,
+                   min(md5('s0:' || shingle)) AS sig0,
+                   min(md5('s1:' || shingle)) AS sig1,
+                   min(md5('s2:' || shingle)) AS sig2,
+                   min(md5('s3:' || shingle)) AS sig3
+            FROM sh GROUP BY doc_id""",
+        "ann_cosine": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                       WHERE vec_id = 0),
+            s AS (
+              SELECT vec_id,
+                     list_dot_product(embedding::DOUBLE[], qe)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qe, qe))) AS c
+              FROM embeddings, q WHERE vec_id <> 0
+            )
+            SELECT vec_id, round(c, 6) AS cosine
+            FROM s ORDER BY c DESC, vec_id LIMIT 20""",
+    }

@@ -141,12 +141,16 @@ def build_index(
     segments: int = 1,
     input_desc: str = "",
     resume: bool = True,
+    doc_id_col: Optional[str] = None,
     _fail_after_segments: Optional[int] = None,  # fault injection (tests)
 ) -> dict:
     """Build (or resume) a full index at ``out_dir``; returns the manifest.
 
-    ``transcripts`` must have unique (conv_id, turn_idx) and a ``text``
-    column (BASELINE.json:15). Any source becomes this shape first (A1-A3).
+    ``transcripts`` must have a ``text`` column plus EITHER unique
+    (conv_id, turn_idx) — dense doc_ids get assigned by that total order
+    (BASELINE.json:15) — OR ``doc_id_col`` naming an existing unique
+    non-negative int64 id (e.g. testdata ``documents.doc_id``), used as-is
+    (delta encoding only needs ascending ids; density just compresses best).
     """
     p = IndexPaths(out_dir)
     t0 = now()
@@ -157,17 +161,27 @@ def build_index(
         docs_meta = read_json(p.docs_marker)
         n_docs = docs_meta["n_docs"]
     else:
-        ids = assign_doc_ids(transcripts, partitions=cfg.build_partitions)
+        if doc_id_col is not None:
+            ids = transcripts
+            if doc_id_col != "doc_id":
+                ids = ids.withColumnRenamed(doc_id_col, "doc_id")
+            ids = ids.withColumn("doc_id", F.col("doc_id").cast("long"))
+        else:
+            ids = assign_doc_ids(transcripts, partitions=cfg.build_partitions)
         ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
-        n_docs = ids.count()
+        agg = ids.agg(F.count("*"), F.max("doc_id"), F.countDistinct("doc_id")).first()
+        n_docs, max_id, n_distinct = agg[0], (agg[1] if agg[1] is not None else 0), agg[2]
+        if n_distinct != n_docs:
+            raise ValueError("doc_id column is not unique")
         seg_expr = F.least(F.lit(segments - 1),
-                           (F.col("doc_id") * segments / F.lit(max(1, n_docs)))
+                           (F.col("doc_id") * segments / F.lit(max(1, max_id + 1)))
                            .cast("long"))
         (ids.withColumn("seg", seg_expr)
             .write.mode("overwrite").partitionBy("seg").parquet(p.docs))
         ids.unpersist()
         docs_meta = {
             "n_docs": n_docs,
+            "max_doc_id": int(max_id),
             "segments": segments,
             "input": input_desc,
             "analyzer_version": cfg.analyzer_version,

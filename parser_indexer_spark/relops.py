@@ -1,0 +1,242 @@
+"""General relational operator surface (SURVEY.md §2.E) + training-data
+pipeline ops (dedup/fingerprint/ANN) over the driver's testdata tables.
+
+The reference delegates all of this to Solr (facets/filters/sort) or lacks
+it; the engine exposes each as an idiomatic Catalyst plan so the driver's
+DuckDB harness can verify it 1:1 (SURVEY.md §3.3). Determinism rules used
+throughout (floats must hash identically across engines):
+  * money sums -> SUM(CAST(x AS DECIMAL(18,2))) then cast double (exact)
+  * unordered float reductions are avoided or decimal-exact
+  * window arithmetic over <=3 doubles in frame order is bitwise-stable
+  * every computed column is aliased identically here and in the SQL oracle
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from parser_indexer_spark.analyze import tokenize_series
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------- scan / filter ---
+
+def project_filter(spark, sf_dir):
+    """Projection + predicate pushdown: both reach the Parquet scan
+    (PushedFilters / ReadSchema show only 3 columns)."""
+    return (T(spark, sf_dir, "documents")
+            .where((F.col("lang") == "en") & (F.col("n_chars") > 200))
+            .select("doc_id", "source", "n_chars"))
+
+
+# ------------------------------------------------------------------ joins ---
+
+def join_broadcast(spark, sf_dir):
+    """Small-dim broadcast hash join (orders side grouped after)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (li.join(F.broadcast(o.where(F.col("o_orderstatus") == "F")
+                                 .select("o_orderkey", "o_orderpriority")),
+                    li.l_orderkey == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(rev).cast("double").alias("revenue")))
+
+
+def join_sortmerge(spark, sf_dir):
+    """Large-large sort-merge join (merge hint defeats auto-broadcast)."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").hint("merge")
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_qty")))
+
+
+def join_semi(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .select("c_custkey", "c_mktsegment"))
+
+
+def join_anti(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+# ----------------------------------------------------------- aggregation ---
+
+def agg_stats(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(28,10)"))
+                  .cast("double").alias("sum_value"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value")))
+
+
+def facet_count(spark, sf_dir):
+    """Solr field-facet analogue: group-by count [public: Solr JSON facets]."""
+    return (T(spark, sf_dir, "documents")
+            .groupBy("lang", "source").agg(F.count("*").alias("n")))
+
+
+def agg_distinct(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+def cube_lang_source(spark, sf_dir):
+    """Solr pivot-facet analogue: CUBE with subtotal rows."""
+    return (T(spark, sf_dir, "documents")
+            .cube("lang", "source").agg(F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------- windows ---
+
+def window_rank(spark, sf_dir):
+    """Solr result-collapse analogue: top-3 orders per customer."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rnk", F.row_number().over(w))
+             .where(F.col("rnk") <= 3)
+             .select("o_custkey", "o_orderkey", "o_totalprice", "rnk"))
+
+
+def window_lag_frame(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, 0)
+    return (e.withColumn("prev_value", F.lag("value").over(w))
+             .withColumn("delta", F.col("value") - F.col("prev_value"))
+             .withColumn("moving3",
+                         F.sum(F.col("value").cast("decimal(28,10)")).over(wf)
+                          .cast("double"))
+             .select("event_id", "user_id", "delta", "moving3"))
+
+
+# ------------------------------------------------------- sort / set ops ---
+
+def topk_orders(spark, sf_dir):
+    return (T(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey", "o_totalprice").limit(20))
+
+
+def setop_union(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.union(b).distinct()
+
+
+def setop_except(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o.distinct()).distinct()
+
+
+# --------------------------------------------- strings / dates / arrays ---
+
+def str_tokens(spark, sf_dir):
+    """Tokenizer equivalence (C1) via the engine's Arrow pandas_udf."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def tok(texts: pd.Series) -> pd.Series:
+        return tokenize_series(texts)
+
+    d = T(spark, sf_dir, "documents")
+    return (d.select(F.explode(tok(F.col("text"))).alias("term"))
+             .groupBy("term").agg(F.count("*").alias("n_occurrences")))
+
+
+def date_trunc_agg(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return (e.groupBy(F.date_format(F.date_trunc("hour", F.col("ts")),
+                                    "yyyy-MM-dd HH").alias("hour"))
+             .agg(F.count("*").alias("n")))
+
+
+def array_explode_tf(spark, sf_dir):
+    """tf via pure built-ins: split/explode/filter/group — the JVM-side
+    equivalent of the fused tokenize stage (documents are ASCII lower)."""
+    d = T(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                      lambda x: x != "")
+    return (d.select("doc_id", F.explode(tokens).alias("term"))
+             .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+
+
+def json_extract(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    return (e.select(k.alias("k"))
+             .groupBy((F.col("k") % 10).alias("k_mod"))
+             .agg(F.count("*").alias("n")))
+
+
+# ------------------------------------- training-data pipeline operators ---
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy); keeper = min doc_id."""
+    d = T(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5(F.col("text")).alias("fp"))
+             .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper")))
+
+
+def minhash_signature(spark, sf_dir):
+    """MinHash over token 3-shingles, 4 hash families (md5-seeded) — the
+    signature stage of MinHash-LSH near-dup detection, verifiable in SQL."""
+    d = T(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                      lambda x: x != "")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - 3),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, 3)),
+            )
+        ).alias("shingle"),
+    ).where(F.size(tokens) >= 3)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle"))))
+             .alias(f"sig{i}") for i in range(4)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-20 neighbours of vec_id=0 over embeddings —
+    the exact baseline for ANN; JVM-side higher-order functions only."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")).first()["q_emb"]
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit,
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"),
+                    lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    qn = float(sum(float(x) * float(x) for x in q)) ** 0.5
+    cos = dot / (nrm * F.lit(qn))
+    return (emb.where(F.col("vec_id") != 0)
+               .select("vec_id", cos.alias("_exact"))
+               .orderBy(F.desc("_exact"), F.asc("vec_id")).limit(20)
+               .select("vec_id", F.round("_exact", 6).alias("cosine")))

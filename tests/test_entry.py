@@ -1,0 +1,77 @@
+"""Driver-harness emulation — SURVEY.md §3.3/§5.9: every queries() entry vs
+its oracle_sql() DuckDB result on the same parquet tables (sf0.001 in CI for
+speed; the driver runs sf0.01). Comparison mirrors the driver: row count +
+column names + order-insensitive exact values."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), na_position="last") \
+             .reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_vs_oracle(spark, sf_dir, ddb, name):
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    assert sql is not None, f"{name} has no oracle SQL"
+    got = _normalize(fn(spark, sf_dir).toPandas())
+    exp = _normalize(ddb.execute(sql).fetchdf())
+    assert list(got.columns) == list(exp.columns), \
+        f"{name}: cols {list(got.columns)} vs {list(exp.columns)}"
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    mism = []
+    for i in range(len(got)):
+        for c in got.columns:
+            a, b = got.iloc[i][c], exp.iloc[i][c]
+            if not _values_equal(a, b):
+                mism.append((i, c, a, b))
+                if len(mism) > 4:
+                    break
+        if len(mism) > 4:
+            break
+    assert not mism, f"{name}: first mismatches {mism}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"doc_id", "score"}
