@@ -204,6 +204,16 @@ def build_index(
                 f"injected failure after {built_this_run} segments (test)")
 
     # ---- phase C: dictionary + stats + atomic manifest commit -----------
+    return finalize_index(spark, out_dir, cfg, docs_meta, seg_count,
+                          input_desc, t0)
+
+
+def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
+                   docs_meta: dict, seg_count: int, input_desc: str,
+                   t0: float) -> dict:
+    """Phase C (C7/C9/C12): dict + stats from the committed segments, then
+    the manifest written LAST = the atomic snapshot commit."""
+    p = IndexPaths(out_dir)
     seg_rows = [read_json(p.segment_manifest(s)) for s in range(seg_count)]
     post = read_postings(spark, out_dir, segs=list(range(seg_count)))
     (post.groupBy("term")
@@ -239,49 +249,46 @@ def build_index(
     return manifest
 
 
-def _build_segment(spark: SparkSession, p: IndexPaths, seg: int,
-                   cfg: EngineConfig) -> None:
-    t0 = now()
-    docs_seg = (spark.read.parquet(p.docs)
-                .where(F.col("seg") == seg)
-                .select("doc_id", "text"))
+def invert_and_write_segment(spark: SparkSession, p: IndexPaths, seg: int,
+                             cfg: EngineConfig, tf: DataFrame,
+                             doc_range: tuple[int, int]) -> int:
+    """Core inversion (C3-C6, C11): tf rows -> salted term shuffle ->
+    sorted block build -> bucket-partitioned write. Returns n_hot_terms.
+    Shared by the fresh build and the merge/compaction job (C10)."""
+    lo, hi = doc_range
+    span = max(1, hi - lo + 1)
+    # skew census: exact df via map-side-combinable agg (shuffle ~|vocab|)
+    hot_rows = (tf.groupBy("term").count()
+                .where(F.col("count") > cfg.salt_df_threshold)
+                .select("term").collect())
+    hot = [r["term"] for r in hot_rows]
+    if hot:
+        hot_df = spark.createDataFrame([(t,) for t in hot], "term string") \
+                      .withColumn("_hot", F.lit(True))
+        tf2 = tf.join(F.broadcast(hot_df), "term", "left")
+        salt = F.when(
+            F.col("_hot").isNotNull(),
+            ((F.col("doc_id") - F.lit(lo)) * cfg.n_salts / F.lit(span))
+            .cast("int"),
+        ).otherwise(F.lit(0))
+    else:
+        tf2 = tf
+        salt = F.lit(0)
+    blocks = (
+        tf2.withColumn("_salt", salt)
+           .repartition(cfg.build_partitions, "term", "_salt")
+           .sortWithinPartitions("term", "doc_id")
+           .select("term", "doc_id", "tf", "dl")
+           .mapInPandas(make_block_builder(cfg), POSTINGS_SCHEMA)
+    )
+    (blocks.write.mode("overwrite").partitionBy("bucket")
+           .parquet(p.postings_seg(seg)))
+    return len(hot)
 
-    tf = docs_seg.mapInPandas(tokenize_tf_batches, TOKENIZE_TF_SCHEMA)
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        # skew census: exact df via map-side-combinable agg (shuffle ~|vocab|)
-        hot_rows = (tf.groupBy("term").count()
-                    .where(F.col("count") > cfg.salt_df_threshold)
-                    .select("term").collect())
-        hot = [r["term"] for r in hot_rows]
-        rng = docs_seg.agg(F.min("doc_id"), F.max("doc_id")).first()
-        lo, hi = (rng[0] or 0), (rng[1] or 0)
-        span = max(1, hi - lo + 1)
-        if hot:
-            hot_df = spark.createDataFrame([(t,) for t in hot], "term string") \
-                          .withColumn("_hot", F.lit(True))
-            tf2 = tf.join(F.broadcast(hot_df), "term", "left")
-            salt = F.when(
-                F.col("_hot").isNotNull(),
-                ((F.col("doc_id") - F.lit(lo)) * cfg.n_salts / F.lit(span))
-                .cast("int"),
-            ).otherwise(F.lit(0))
-        else:
-            tf2 = tf
-            salt = F.lit(0)
-        blocks = (
-            tf2.withColumn("_salt", salt)
-               .repartition(cfg.build_partitions, "term", "_salt")
-               .sortWithinPartitions("term", "doc_id")
-               .select("term", "doc_id", "tf", "dl")
-               .mapInPandas(make_block_builder(cfg), POSTINGS_SCHEMA)
-        )
-        (blocks.write.mode("overwrite").partitionBy("bucket")
-               .parquet(p.postings_seg(seg)))
-    finally:
-        tf.unpersist()
 
-    # per-segment metrics + lineage (C13)
+def write_segment_manifest(spark: SparkSession, p: IndexPaths, seg: int,
+                           cfg: EngineConfig, n_hot: int, t0: float) -> None:
+    """Per-segment metrics + lineage (C13)."""
     seg_post = spark.read.parquet(p.postings_seg(seg))
     agg = seg_post.agg(
         F.count("*").alias("n_blocks"),
@@ -303,12 +310,29 @@ def _build_segment(spark: SparkSession, p: IndexPaths, seg: int,
         "n_terms": agg["n_terms"],
         "doc_lo": agg["doc_lo"],
         "doc_hi": agg["doc_hi"],
-        "n_hot_terms_salted": len(hot),
+        "n_hot_terms_salted": n_hot,
         "per_bucket": per_bucket,
         "analyzer_version": cfg.analyzer_version,
         "codec_version": cfg.codec_version,
         "wall_sec": now() - t0,
     })
+
+
+def _build_segment(spark: SparkSession, p: IndexPaths, seg: int,
+                   cfg: EngineConfig) -> None:
+    t0 = now()
+    docs_seg = (spark.read.parquet(p.docs)
+                .where(F.col("seg") == seg)
+                .select("doc_id", "text"))
+    tf = docs_seg.mapInPandas(tokenize_tf_batches, TOKENIZE_TF_SCHEMA)
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        rng = docs_seg.agg(F.min("doc_id"), F.max("doc_id")).first()
+        lo, hi = (rng[0] or 0), (rng[1] or 0)
+        n_hot = invert_and_write_segment(spark, p, seg, cfg, tf, (lo, hi))
+    finally:
+        tf.unpersist()
+    write_segment_manifest(spark, p, seg, cfg, n_hot, t0)
 
 
 # ---------------------------------------------------------------- readers ---

@@ -1,0 +1,93 @@
+"""Distributed segment merge / compaction (C10) — SURVEY.md §2.C10.
+
+Reference analogue: Lucene's background ``TieredMergePolicy`` merges
+segments by k-way docID-ordered postings merge [public: Lucene merging].
+Engine analogue: a Spark job that reads every committed segment's posting
+blocks, decodes them back to (term, doc_id, tf, dl) rows (one fused Arrow
+stage), and re-runs the standard inversion (salted term shuffle + sorted
+block rebuild) into a single new segment. Because doc_ids are globally
+unique across segments, the merge is a pure re-layout: the logical index is
+unchanged (tested via per-term posting hashes in tests/test_merge.py), but
+under-full chunk-boundary blocks from many small segments compact into full
+``block_size`` runs — the same win Lucene gets from merging.
+
+The merged index is written to a NEW root and committed atomically via its
+own manifest, so readers never observe a half-merged state (Iceberg-snapshot
+semantics on the Parquet fallback, SURVEY.md §7 M8).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from parser_indexer_spark.build import (
+    TOKENIZE_TF_SCHEMA, finalize_index, invert_and_write_segment,
+    read_postings, write_segment_manifest,
+)
+from parser_indexer_spark.codec import decode, delta_decode
+from parser_indexer_spark.config import EngineConfig
+from parser_indexer_spark.manifest import (
+    IndexPaths, load_manifest, now, read_json, write_json,
+)
+
+
+def _decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Posting blocks -> raw (doc_id, term, tf, dl) rows, vectorized."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        ds, ts, ls, terms = [], [], [], []
+        for r in pdf.itertuples():
+            n = int(r.num_docs)
+            ds.append(delta_decode(decode(r.docs_enc, n), int(r.first_doc_id)))
+            ts.append(decode(r.tfs_enc, n).astype(np.int32))
+            ls.append(decode(r.dls_enc, n).astype(np.int32))
+            terms.append(np.full(n, r.term, dtype=object))
+        yield pd.DataFrame({
+            "doc_id": np.concatenate(ds).astype(np.int64),
+            "term": np.concatenate(terms),
+            "tf": np.concatenate(ts),
+            "dl": np.concatenate(ls),
+        })
+
+
+def merge_index(spark: SparkSession, src_root: str, dst_root: str,
+                cfg: EngineConfig | None = None) -> dict:
+    """Compact all of src_root's segments into a single-segment index at
+    dst_root. Returns the new manifest."""
+    t0 = now()
+    src_manifest = load_manifest(src_root)
+    cfg = cfg or EngineConfig.from_dict(src_manifest["config"])
+    sp, dp = IndexPaths(src_root), IndexPaths(dst_root)
+
+    # doc store is unchanged by a merge — re-link it (local fs copy; on a
+    # real deployment this is an Iceberg metadata-only operation)
+    if os.path.exists(dp.root):
+        shutil.rmtree(dp.root)
+    os.makedirs(dp.root)
+    shutil.copytree(sp.docs, dp.docs)
+    docs_meta = read_json(dp.docs_marker)
+    docs_meta["segments"] = 1
+    write_json(dp.docs_marker, docs_meta)
+
+    blocks = read_postings(spark, src_root)
+    tf = blocks.select("term", "num_docs", "first_doc_id",
+                       "docs_enc", "tfs_enc", "dls_enc") \
+               .mapInPandas(_decode_blocks, TOKENIZE_TF_SCHEMA)
+    lo = min(s["doc_lo"] for s in src_manifest["segments"])
+    hi = max(s["doc_hi"] for s in src_manifest["segments"])
+    ts0 = now()
+    n_hot = invert_and_write_segment(spark, dp, 0, cfg, tf, (lo, hi))
+    write_segment_manifest(spark, dp, 0, cfg, n_hot, ts0)
+    manifest = finalize_index(spark, dst_root, cfg, docs_meta, 1,
+                              input_desc=f"merge of {src_root} "
+                                         f"({src_manifest['n_segments']} segments)",
+                              t0=t0)
+    return manifest

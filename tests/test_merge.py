@@ -1,0 +1,37 @@
+"""C10 merge/compaction test: merging a multi-segment index into one segment
+preserves the logical index exactly and compacts under-full blocks."""
+
+import pyspark.sql.functions as F
+
+from parser_indexer_spark.build import build_index, read_postings
+from parser_indexer_spark.config import EngineConfig
+from parser_indexer_spark.merge import merge_index
+from parser_indexer_spark.search import Index
+from parser_indexer_spark.transcripts import synthesize_pandas
+from test_resume import _logical_index_hash
+
+CFG = EngineConfig(n_buckets=4, build_partitions=6, salt_df_threshold=300,
+                   n_salts=3, chunk_bits=8)
+
+
+def test_merge_preserves_logical_index(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.createDataFrame(synthesize_pandas(1500))
+    build_index(spark, df, src, CFG, segments=5)
+    m = merge_index(spark, src, dst)
+    assert m["n_segments"] == 1
+    assert _logical_index_hash(src) == _logical_index_hash(dst)
+    # compaction actually reduced block count (5 segments of ragged blocks)
+    n_src = read_postings(spark, src).count()
+    n_dst = read_postings(spark, dst).count()
+    assert n_dst <= n_src
+    # queries identical on both
+    ia, ib = Index(spark, src), Index(spark, dst)
+    drop = lambda s: {k: v for k, v in s.items() if k != "n_blocks"}  # noqa: E731
+    assert drop(ia.stats) == drop(ib.stats)  # n_blocks shrinks: that's the point
+    assert ib.stats["n_blocks"] < ia.stats["n_blocks"]
+    for q, mode in [("spark join", "OR"), ("spark join", "AND")]:
+        ra = [(r.doc_id, r.score) for r in ia.search(q, k=10, mode=mode).collect()]
+        rb = [(r.doc_id, r.score) for r in ib.search(q, k=10, mode=mode).collect()]
+        assert ra == rb

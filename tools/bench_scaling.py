@@ -1,0 +1,124 @@
+"""N vs 4N scaling evidence (BASELINE.md protocol; BASELINE.json:2,14).
+
+A real N vs 4N executor cluster is unavailable in the sandbox; per the
+driver's instruction the SAME job runs at two parallelism levels on the SAME
+input and we report throughput at both plus efficiency:
+
+    python tools/bench_scaling.py [--turns 1000000]
+
+Orchestration: (1) generate the synthetic transcript corpus once to parquet
+(seed=42, FIXTURES.md §1); (2) run the index build in a FRESH subprocess at
+local[8], then local[32] (separate JVMs — no warm-cache bleed); (3) run the
+fixture query set at local[32] for p95 latency; (4) write
+BENCH_SCALING.json and print a summary to paste into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, shutil, sys, time
+sys.path.insert(0, {root!r})
+from parser_indexer_spark.session import get_spark
+from parser_indexer_spark.build import build_index
+from parser_indexer_spark.config import EngineConfig
+from parser_indexer_spark.search import Index
+
+master, cores, input_path, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+spark = get_spark(app="scaling-" + master, master=master,
+                  shuffle_partitions=max(8, 2 * cores))
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet(input_path)
+shutil.rmtree(out_dir, ignore_errors=True)
+cfg = EngineConfig(n_buckets=32, build_partitions=2 * cores,
+                   salt_df_threshold=50_000, n_salts=16, chunk_bits=15)
+t0 = time.perf_counter()
+manifest = build_index(spark, df, out_dir, cfg, segments=1,
+                       input_desc=input_path)
+wall = time.perf_counter() - t0
+res = {"master": master, "wall_sec": round(wall, 2),
+       "n_turns": manifest["stats"]["n_docs"],
+       "turns_per_sec": round(manifest["stats"]["n_docs"] / wall, 1),
+       "stats": manifest["stats"]}
+queries = [("spark", "OR"), ("join", "OR"), ("w1999", "OR"),
+           ("spark join", "OR"), ("spark join", "AND"), ("hash agg", "AND"),
+           ("sort merge w0042", "OR"), ("window partition order", "AND"),
+           ("SPARK, Join!", "OR"), ("w0000 w0100 w0500", "OR")]
+ix = Index(spark, out_dir)
+lat = []
+for rep in range(3):
+    for q, mode in queries:
+        t0 = time.perf_counter()
+        ix.search(q, k=10, mode=mode).collect()
+        lat.append(time.perf_counter() - t0)
+lat.sort()
+res["query_p50_sec"] = round(lat[len(lat)//2], 4)
+res["query_p95_sec"] = round(lat[int(0.95 * (len(lat) - 1))], 4)
+print("CHILD_RESULT " + json.dumps(res))
+spark.stop()
+"""
+
+
+def run_child(master: str, cores: int, input_path: str, out_dir: str) -> dict:
+    script = CHILD.format(root=ROOT)
+    proc = subprocess.run(
+        [sys.executable, "-c", script, master, str(cores), input_path, out_dir],
+        capture_output=True, text=True, timeout=3600)
+    for line in proc.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"child {master} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=1_000_000)
+    ap.add_argument("--workdir", default="/tmp/bench_scaling")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    input_path = os.path.join(args.workdir, f"transcripts_{args.turns}")
+    if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+        sys.path.insert(0, ROOT)
+        from parser_indexer_spark.session import get_spark
+        from parser_indexer_spark.transcripts import synthesize_spark
+        spark = get_spark(app="gen", master="local[32]", shuffle_partitions=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        shutil.rmtree(input_path, ignore_errors=True)
+        synthesize_spark(spark, args.turns, partitions=64) \
+            .write.mode("overwrite").parquet(input_path)
+        spark.stop()
+        print(f"generated {input_path}")
+
+    r8 = run_child("local[8]", 8, input_path, os.path.join(args.workdir, "idx8"))
+    print(json.dumps(r8, indent=1))
+    r32 = run_child("local[32]", 32, input_path, os.path.join(args.workdir, "idx32"))
+    print(json.dumps(r32, indent=1))
+
+    eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / 4.0
+    summary = {
+        "protocol": "same job, same input, local[8] vs local[32] "
+                    "(N vs 4N stand-in per driver instruction)",
+        "n_turns": r8["n_turns"],
+        "local8": r8,
+        "local32": r32,
+        "scaling_efficiency_n_to_4n": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: summary[k] for k in
+                      ("n_turns", "scaling_efficiency_n_to_4n", "pass")}))
+
+
+if __name__ == "__main__":
+    main()
