@@ -79,10 +79,15 @@ def main() -> None:
         fn = getattr(relops, name)
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 
-    # 4. transcripts micro-build throughput
+    # 4. transcripts micro-build throughput (corpus materialized first so
+    # the build times the build, not repeated synthesis per action)
     tr_dir = "/tmp/bench_transcripts_index"
+    tr_src = f"/tmp/bench_transcripts_src_{BENCH_TURNS}"
     shutil.rmtree(tr_dir, ignore_errors=True)
-    tdf = synthesize_spark(spark, BENCH_TURNS, partitions=CPUS)
+    if not os.path.exists(f"{tr_src}/_SUCCESS"):
+        synthesize_spark(spark, BENCH_TURNS, partitions=CPUS) \
+            .write.mode("overwrite").parquet(tr_src)
+    tdf = spark.read.parquet(tr_src)
     tcfg = EngineConfig(n_buckets=16, build_partitions=CPUS,
                         salt_df_threshold=20_000, n_salts=8, chunk_bits=14)
     m = timed("build_transcripts_index",

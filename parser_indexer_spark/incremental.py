@@ -1,0 +1,140 @@
+"""Incremental / streaming indexing (SURVEY.md §2.F) — extension tier.
+
+The reference is batch-only (Solr NRT soft-commit is its only incremental
+notion [public: Solr NRT]); the engine adds Structured-Streaming-native
+incremental indexing: every micro-batch becomes a NEW SEGMENT (exactly the
+Lucene NRT model: flush small segments continuously, compact with the merge
+job §2.C10), committed atomically by re-finalizing the manifest, so readers
+always see a consistent snapshot.
+
+doc_id allocation stays dense and monotone: each batch's ids start at the
+current max_doc_id + 1, assigned within the batch by the same deterministic
+(conv_id, turn_idx) order as the batch build.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from parser_indexer_spark.analyze import TOKENIZE_TF_SCHEMA, tokenize_tf_batches
+from parser_indexer_spark.build import (
+    build_index, finalize_index, invert_and_write_segment,
+    write_segment_manifest,
+)
+from parser_indexer_spark.config import EngineConfig
+from parser_indexer_spark.docids import assign_doc_ids
+from parser_indexer_spark.manifest import (
+    IndexPaths, now, read_json, write_json,
+)
+
+
+def append_segment(spark: SparkSession, root: str, batch: DataFrame,
+                   cfg: EngineConfig, input_desc: str = "") -> dict:
+    """Append one batch of transcript rows as a new segment; returns the
+    recommitted manifest. Bootstraps a fresh index if none exists."""
+    import os
+    p = IndexPaths(root)
+    if not os.path.exists(p.docs_marker):
+        return build_index(spark, batch, root, cfg, segments=1,
+                           input_desc=input_desc or "bootstrap batch")
+    t0 = now()
+    meta = read_json(p.docs_marker)
+    base = int(meta.get("max_doc_id", meta["n_docs"] - 1)) + 1
+    seg = int(meta["segments"])
+
+    ids = assign_doc_ids(batch, partitions=cfg.build_partitions) \
+        .withColumn("doc_id", F.col("doc_id") + F.lit(base))
+    from pyspark.storagelevel import StorageLevel
+    ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        agg = ids.agg(F.count("*"), F.max("doc_id")).first()
+        n_new, max_id = int(agg[0]), agg[1]
+        if n_new == 0:
+            return read_json(p.manifest) if os.path.exists(p.manifest) else {}
+        (ids.withColumn("seg", F.lit(seg))
+            .write.mode("append").partitionBy("seg").parquet(p.docs))
+        tf = ids.select("doc_id", "text") \
+                .mapInPandas(tokenize_tf_batches, TOKENIZE_TF_SCHEMA)
+        n_hot = invert_and_write_segment(spark, p, seg, cfg, tf,
+                                         (base, int(max_id)))
+        write_segment_manifest(spark, p, seg, cfg, n_hot, t0)
+    finally:
+        ids.unpersist()
+
+    meta["n_docs"] = int(meta["n_docs"]) + n_new
+    meta["max_doc_id"] = int(max_id)
+    meta["segments"] = seg + 1
+    write_json(p.docs_marker, meta)
+    return finalize_index(spark, root, cfg, meta, seg + 1,
+                          input_desc=input_desc or f"append seg {seg}", t0=t0)
+
+
+def incremental_index_query(stream_df: DataFrame, root: str,
+                            cfg: EngineConfig, checkpoint: str,
+                            trigger_available_now: bool = True):
+    """readStream -> foreachBatch(append_segment). Returns the (started)
+    StreamingQuery; late/duplicate batch replay is idempotent at segment
+    granularity because a replayed batch overwrites its segment dir."""
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        append_segment(batch.sparkSession, root, batch, cfg,
+                       input_desc=f"stream batch {batch_id}")
+
+    w = (stream_df.writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+# ----------------------------- streaming analytics over transcripts --------
+
+def term_volume_windows(stream_df: DataFrame, window: str = "1 hour",
+                        watermark: str = "10 minutes",
+                        slide: Optional[str] = None) -> DataFrame:
+    """Tumbling/sliding per-term volume with late-data watermark."""
+
+    from pyspark.sql.types import ArrayType, StringType
+    from parser_indexer_spark.analyze import tokenize_series
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def tok(texts: pd.Series) -> pd.Series:
+        return tokenize_series(texts)
+
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (stream_df.withWatermark("ts", watermark)
+            .select(win.alias("win"), F.explode(tok(F.col("text"))).alias("term"))
+            .groupBy("win", "term").agg(F.count("*").alias("n")))
+
+
+def conversation_sessions(stream_df: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Sessionization by conv_id with a session window (gap timeout)."""
+    return (stream_df.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("session"), "conv_id")
+            .agg(F.count("*").alias("n_turns"),
+                 F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")))
+
+
+def running_turn_counts(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-conversation turn counter via
+    applyInPandasWithState (update mode)."""
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [cnt]})
+
+    return (stream_df.groupBy("conv_id")
+            .applyInPandasWithState(fn, "conv_id string, n_turns long",
+                                    "n_turns long", "update",
+                                    GroupStateTimeout.NoTimeout))

@@ -1,0 +1,124 @@
+"""§2.F streaming/incremental tests: segment appends ≡ batch build;
+foreachBatch incremental indexing; windowed/sessionized/stateful analytics."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from parser_indexer_spark.build import build_index, read_docs
+from parser_indexer_spark.config import EngineConfig
+from parser_indexer_spark.incremental import (
+    append_segment, conversation_sessions, incremental_index_query,
+    running_turn_counts, term_volume_windows,
+)
+from parser_indexer_spark.search import Index
+from parser_indexer_spark.transcripts import synthesize_pandas
+from test_resume import _logical_index_hash
+
+CFG = EngineConfig(n_buckets=4, build_partitions=4, salt_df_threshold=300,
+                   n_salts=2, chunk_bits=8)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return (synthesize_pandas(600)
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+
+def _slices(corpus, k=3):
+    n = len(corpus)
+    return [corpus.iloc[i * n // k:(i + 1) * n // k] for i in range(k)]
+
+
+def test_append_segments_equal_batch_build(spark, corpus, tmp_path):
+    batch_dir = str(tmp_path / "batch")
+    incr_dir = str(tmp_path / "incr")
+    build_index(spark, spark.createDataFrame(corpus), batch_dir, CFG, segments=1)
+    for sl in _slices(corpus):
+        append_segment(spark, incr_dir, spark.createDataFrame(sl), CFG)
+    assert _logical_index_hash(batch_dir) == _logical_index_hash(incr_dir)
+    ia, ib = Index(spark, batch_dir), Index(spark, incr_dir)
+    assert ia.stats["n_docs"] == ib.stats["n_docs"]
+    assert ia.stats["sum_dl"] == ib.stats["sum_dl"]
+    for q, mode in [("spark join", "OR"), ("spark join", "AND")]:
+        ra = [(r.doc_id, r.score) for r in ia.search(q, k=10, mode=mode).collect()]
+        rb = [(r.doc_id, r.score) for r in ib.search(q, k=10, mode=mode).collect()]
+        assert ra == rb
+
+
+def test_streaming_foreachbatch_index(spark, corpus, tmp_path):
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    for i, sl in enumerate(_slices(corpus)):
+        spark.createDataFrame(sl).coalesce(1).write.parquet(f"{src}/slice={i}")
+    schema = spark.read.parquet(f"{src}/slice=0").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/slice=*"))
+    root = str(tmp_path / "stream_idx")
+    q = incremental_index_query(stream, root, CFG,
+                                checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    ix = Index(spark, root)
+    assert ix.stats["n_docs"] == len(corpus)
+    assert ix.manifest["n_segments"] >= 2  # really was incremental
+    # results equal batch build when compared in (conv_id, turn_idx) space
+    batch_dir = str(tmp_path / "batch_ref")
+    build_index(spark, spark.createDataFrame(corpus), batch_dir, CFG)
+    ib = Index(spark, batch_dir)
+
+    def keyed(i, q_):
+        top = i.search(q_, k=10)
+        return sorted((r.conv_id, r.turn_idx, round(r.score, 9)) for r in
+                      read_docs(i.spark, i.root).join(top, "doc_id")
+                      .select("conv_id", "turn_idx", "score").collect())
+    assert keyed(ix, "spark join") == keyed(ib, "spark join")
+
+
+def test_term_volume_windows(spark, corpus, tmp_path):
+    src = str(tmp_path / "tv_src")
+    spark.createDataFrame(corpus).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = (term_volume_windows(stream, window="1 hour")
+           .writeStream.format("memory").queryName("tv")
+           .outputMode("complete").trigger(availableNow=True).start())
+    out.awaitTermination(300)
+    got = {(str(r.win.start), r.term): r.n
+           for r in spark.sql("select * from tv").collect()}
+    # batch equivalent
+    from parser_indexer_spark.relops import str_tokens  # noqa: F401 (pattern)
+    import pandas as pd
+    from parser_indexer_spark.analyze import tokenize_py
+    exp: dict = {}
+    for r in corpus.itertuples():
+        win = pd.Timestamp(r.ts).floor("h")
+        for t in tokenize_py(r.text):
+            exp[(str(win), t)] = exp.get((str(win), t), 0) + 1
+    assert got == exp
+
+
+def test_sessions_and_stateful(spark, corpus, tmp_path):
+    src = str(tmp_path / "ss_src")
+    spark.createDataFrame(corpus).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    s = (conversation_sessions(stream, gap="30 minutes")
+         .writeStream.format("memory").queryName("sess")
+         .outputMode("complete").trigger(availableNow=True).start())
+    s.awaitTermination(300)
+    sess = spark.sql("select conv_id, n_turns from sess").toPandas()
+    exp_counts = corpus.groupby("conv_id").size()
+    # 30s turn spacing << 30min gap => exactly one session per conversation
+    assert len(sess) == len(exp_counts)
+    assert dict(zip(sess.conv_id, sess.n_turns)) == exp_counts.to_dict()
+
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    st = (running_turn_counts(stream2)
+          .writeStream.format("memory").queryName("turns")
+          .outputMode("update").trigger(availableNow=True).start())
+    st.awaitTermination(300)
+    turns = spark.sql("select conv_id, max(n_turns) n from turns group by conv_id").toPandas()
+    assert dict(zip(turns.conv_id, turns.n)) == exp_counts.to_dict()
