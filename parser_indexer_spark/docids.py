@@ -59,8 +59,9 @@ def assign_doc_ids(df: DataFrame, partitions: int = 32,
 
     keyed = df.withColumn("_skey", _skey_col())
 
-    # deterministic hash sample of sort keys
-    inv = max(1, n // target_sample)
+    # deterministic hash sample of sort keys (ceil: never collect the
+    # whole key column when n is just under 2x target_sample)
+    inv = max(1, -(-n // target_sample))
     sample = [r[0] for r in keyed.select("_skey")
               .where(F.crc32(F.col("_skey")) % inv == 0).collect()]
     sample.sort()
