@@ -130,6 +130,32 @@ class Index:
         return (docs.join(F.broadcast(topk), "doc_id")
                     .orderBy(F.desc("score"), F.asc("doc_id")))
 
+    def highlight(self, query: str, k: int = 10, mode: str = "OR",
+                  window: int = 5, **kw) -> DataFrame:
+        """D13 highlighting: top-k + a snippet around the first matching
+        term occurrence, <mark>-tagged. Pandas UDF over the k fetched rows
+        only (never the corpus) [public: Solr highlighter analogue]."""
+        terms = sorted(set(tokenize_py(query)))
+        hits = self.fetch(self.search(query, k=k, mode=mode, **kw))
+
+        @F.pandas_udf("string")
+        def snip(texts: pd.Series) -> pd.Series:
+            out = []
+            for text in texts:
+                toks = tokenize_py(text or "")
+                pos = next((i for i, t in enumerate(toks) if t in terms), None)
+                if pos is None:
+                    out.append("")
+                    continue
+                lo, hi = max(0, pos - window), pos + window + 1
+                frag = [f"<mark>{t}</mark>" if t in terms else t
+                        for t in toks[lo:hi]]
+                out.append(("... " if lo else "") + " ".join(frag)
+                           + (" ..." if hi < len(toks) else ""))
+            return pd.Series(out)
+
+        return hits.withColumn("snippet", snip(F.col("text")))
+
 
 def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate):
     """Build the mapInPandas scoring function. Rows may arrive in any order;

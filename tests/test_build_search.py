@@ -149,3 +149,11 @@ def test_fetch_stored_fields(engine, corpus):
     assert len(rows) == 5
     for r in rows:
         assert r.text == corpus.loc[r.doc_id, "text"]
+
+
+def test_highlight(engine):
+    rows = engine.highlight("spark join", k=5).collect()
+    assert len(rows) == 5
+    assert all("<mark>" in r.snippet for r in rows)
+    assert any("<mark>spark</mark>" in r.snippet or "<mark>join</mark>" in r.snippet
+               for r in rows)
