@@ -166,13 +166,19 @@ def build_index(
             if doc_id_col != "doc_id":
                 ids = ids.withColumnRenamed(doc_id_col, "doc_id")
             ids = ids.withColumn("doc_id", F.col("doc_id").cast("long"))
+            ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
+            agg = ids.agg(F.count("*"), F.max("doc_id"),
+                          F.countDistinct("doc_id")).first()
+            n_docs, max_id, n_distinct = agg[0], (agg[1] or 0), agg[2]
+            if n_distinct != n_docs:
+                raise ValueError("doc_id column is not unique")
         else:
             ids = assign_doc_ids(transcripts, partitions=cfg.build_partitions)
-        ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
-        agg = ids.agg(F.count("*"), F.max("doc_id"), F.countDistinct("doc_id")).first()
-        n_docs, max_id, n_distinct = agg[0], (agg[1] if agg[1] is not None else 0), agg[2]
-        if n_distinct != n_docs:
-            raise ValueError("doc_id column is not unique")
+            ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
+            # internally-assigned ids are dense 0..n-1 by construction —
+            # no uniqueness shuffle needed
+            agg = ids.agg(F.count("*"), F.max("doc_id")).first()
+            n_docs, max_id = agg[0], (agg[1] if agg[1] is not None else 0)
         seg_expr = F.least(F.lit(segments - 1),
                            (F.col("doc_id") * segments / F.lit(max(1, max_id + 1)))
                            .cast("long"))
@@ -197,7 +203,7 @@ def build_index(
     for seg in range(seg_count):
         if seg in done:
             continue
-        _build_segment(spark, p, seg, cfg)
+        _build_segment(spark, p, seg, cfg, docs_meta)
         built_this_run += 1
         if _fail_after_segments is not None and built_this_run >= _fail_after_segments:
             raise RuntimeError(
@@ -220,20 +226,20 @@ def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
          .agg(F.sum("num_docs").alias("df"), F.sum("sum_tf").alias("cf"),
               F.first("bucket").alias("bucket"))
          .write.mode("overwrite").partitionBy("bucket").parquet(p.dict))
-    totals = post.agg(
-        F.count("*").alias("n_blocks"),
-        F.sum("num_docs").alias("n_postings"),
-        F.sum("sum_tf").alias("sum_dl"),
+    # totals from the (tiny) dict + the per-segment manifests — no second
+    # full pass over the postings
+    tot = spark.read.parquet(p.dict).agg(
+        F.count("*").alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.sum("cf").alias("sum_dl"),
     ).first()
-    dict_df = spark.read.parquet(p.dict)
-    n_terms = dict_df.count()
     stats = {
         "n_docs": docs_meta["n_docs"],
-        "sum_dl": int(totals["sum_dl"] or 0),
-        "avg_dl": (int(totals["sum_dl"] or 0) / max(1, docs_meta["n_docs"])),
-        "n_terms": int(n_terms),
-        "n_postings": int(totals["n_postings"] or 0),
-        "n_blocks": int(totals["n_blocks"] or 0),
+        "sum_dl": int(tot["sum_dl"] or 0),
+        "avg_dl": (int(tot["sum_dl"] or 0) / max(1, docs_meta["n_docs"])),
+        "n_terms": int(tot["n_terms"] or 0),
+        "n_postings": int(tot["n_postings"] or 0),
+        "n_blocks": int(sum(s["n_blocks"] for s in seg_rows)),
     }
     write_json(p.stats, stats)
     manifest = {
@@ -288,28 +294,33 @@ def invert_and_write_segment(spark: SparkSession, p: IndexPaths, seg: int,
 
 def write_segment_manifest(spark: SparkSession, p: IndexPaths, seg: int,
                            cfg: EngineConfig, n_hot: int, t0: float) -> None:
-    """Per-segment metrics + lineage (C13)."""
+    """Per-segment metrics + lineage (C13). One job: per-bucket agg (terms
+    never cross buckets — bucket = hash(term) — so bucket metrics are
+    additive to segment totals driver-side)."""
     seg_post = spark.read.parquet(p.postings_seg(seg))
-    agg = seg_post.agg(
+    rows = (seg_post.groupBy("bucket").agg(
         F.count("*").alias("n_blocks"),
         F.sum("num_docs").alias("n_postings"),
+        F.sum("sum_tf").alias("sum_tf"),
         F.countDistinct("term").alias("n_terms"),
         F.min("first_doc_id").alias("doc_lo"),
         F.max("last_doc_id").alias("doc_hi"),
-    ).first()
+    ).collect())
     per_bucket = {
-        str(r["bucket"]): {"n_blocks": r["n_blocks"], "n_postings": int(r["n_postings"])}
-        for r in seg_post.groupBy("bucket")
-        .agg(F.count("*").alias("n_blocks"), F.sum("num_docs").alias("n_postings"))
-        .collect()
+        str(r["bucket"]): {"n_blocks": r["n_blocks"],
+                           "n_postings": int(r["n_postings"]),
+                           "n_terms": r["n_terms"],
+                           "sum_tf": int(r["sum_tf"])}
+        for r in rows
     }
     write_json(p.segment_manifest(seg), {
         "seg": seg,
-        "n_blocks": agg["n_blocks"],
-        "n_postings": int(agg["n_postings"] or 0),
-        "n_terms": agg["n_terms"],
-        "doc_lo": agg["doc_lo"],
-        "doc_hi": agg["doc_hi"],
+        "n_blocks": int(sum(r["n_blocks"] for r in rows)),
+        "n_postings": int(sum(r["n_postings"] for r in rows)),
+        "sum_tf": int(sum(r["sum_tf"] for r in rows)),
+        "n_terms": int(sum(r["n_terms"] for r in rows)),
+        "doc_lo": int(min((r["doc_lo"] for r in rows), default=0)),
+        "doc_hi": int(max((r["doc_hi"] for r in rows), default=0)),
         "n_hot_terms_salted": n_hot,
         "per_bucket": per_bucket,
         "analyzer_version": cfg.analyzer_version,
@@ -319,7 +330,7 @@ def write_segment_manifest(spark: SparkSession, p: IndexPaths, seg: int,
 
 
 def _build_segment(spark: SparkSession, p: IndexPaths, seg: int,
-                   cfg: EngineConfig) -> None:
+                   cfg: EngineConfig, docs_meta: dict) -> None:
     t0 = now()
     docs_seg = (spark.read.parquet(p.docs)
                 .where(F.col("seg") == seg)
@@ -327,8 +338,12 @@ def _build_segment(spark: SparkSession, p: IndexPaths, seg: int,
     tf = docs_seg.mapInPandas(tokenize_tf_batches, TOKENIZE_TF_SCHEMA)
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        rng = docs_seg.agg(F.min("doc_id"), F.max("doc_id")).first()
-        lo, hi = (rng[0] or 0), (rng[1] or 0)
+        # salt doc-range bounds from phase-A metadata (no extra scan);
+        # approximate bounds are fine — they only spread the salt ranges
+        max_id = int(docs_meta.get("max_doc_id", docs_meta["n_docs"] - 1))
+        s_count = int(docs_meta["segments"])
+        lo = seg * (max_id + 1) // s_count
+        hi = (seg + 1) * (max_id + 1) // s_count - 1 if seg < s_count - 1 else max_id
         n_hot = invert_and_write_segment(spark, p, seg, cfg, tf, (lo, hi))
     finally:
         tf.unpersist()
