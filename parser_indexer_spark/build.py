@@ -155,6 +155,16 @@ def build_index(
     p = IndexPaths(out_dir)
     t0 = now()
 
+    # Small inputs (bench scale) arrive in fewer scan partitions than cores;
+    # widen once so every downstream stage parallelizes. At real scale the
+    # scan already has >= build_partitions splits and this no-ops. Count
+    # first: on a raw parquet scan Spark answers count() from footer
+    # metadata, so it is ~free before the repartition but a full shuffle
+    # execution after it.
+    n_input = transcripts.count()
+    if transcripts.rdd.getNumPartitions() < cfg.build_partitions:
+        transcripts = transcripts.repartition(cfg.build_partitions)
+
     # ---- phase A: doc store (stored fields) + dense doc_ids -------------
     import os
     if resume and os.path.exists(p.docs_marker):
@@ -173,12 +183,11 @@ def build_index(
             if n_distinct != n_docs:
                 raise ValueError("doc_id column is not unique")
         else:
-            ids = assign_doc_ids(transcripts, partitions=cfg.build_partitions)
+            ids = assign_doc_ids(transcripts, partitions=cfg.build_partitions,
+                                 n_rows=n_input)
             ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
-            # internally-assigned ids are dense 0..n-1 by construction —
-            # no uniqueness shuffle needed
-            agg = ids.agg(F.count("*"), F.max("doc_id")).first()
-            n_docs, max_id = agg[0], (agg[1] if agg[1] is not None else 0)
+            # internally-assigned ids are dense 0..n_input-1 by construction
+            n_docs, max_id = n_input, max(0, n_input - 1)
         seg_expr = F.least(F.lit(segments - 1),
                            (F.col("doc_id") * segments / F.lit(max(1, max_id + 1)))
                            .cast("long"))
@@ -335,6 +344,8 @@ def _build_segment(spark: SparkSession, p: IndexPaths, seg: int,
     docs_seg = (spark.read.parquet(p.docs)
                 .where(F.col("seg") == seg)
                 .select("doc_id", "text"))
+    if docs_seg.rdd.getNumPartitions() < cfg.build_partitions:
+        docs_seg = docs_seg.repartition(cfg.build_partitions)
     tf = docs_seg.mapInPandas(tokenize_tf_batches, TOKENIZE_TF_SCHEMA)
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     try:

@@ -45,12 +45,14 @@ def _skey_col():
 
 
 def assign_doc_ids(df: DataFrame, partitions: int = 32,
-                   target_sample: int = 100_000) -> DataFrame:
+                   target_sample: int = 100_000,
+                   n_rows: int | None = None) -> DataFrame:
     """Input: transcripts-shaped DataFrame with unique (conv_id, turn_idx).
     Output: same columns + dense ``doc_id`` long starting at 0,
-    order-isomorphic to the (conv_id, turn_idx) total order."""
+    order-isomorphic to the (conv_id, turn_idx) total order.
+    ``n_rows``: pass the known row count to skip the count job."""
     spark = df.sparkSession
-    n = df.count()
+    n = n_rows if n_rows is not None else df.count()
     if n == 0:
         from pyspark.sql.types import LongType, StructField, StructType
         schema = StructType(list(df.schema.fields) +

@@ -58,6 +58,10 @@ class Index:
         self.cfg = EngineConfig.from_dict(self.manifest["config"])
         self.stats = read_json(IndexPaths(root).stats)
         self._dict_cache: dict[str, int] = {}
+        # reuse the resolved scan relations across queries (file listing +
+        # schema inference happen once per Index handle)
+        self._postings_df = read_postings(spark, root)
+        self._dict_df = read_dict(spark, root)
 
     # ----------------------------------------------------------- lookup ---
     def term_stats(self, terms: list[str]) -> dict[str, int]:
@@ -65,7 +69,7 @@ class Index:
         missing = [t for t in terms if t not in self._dict_cache]
         if missing:
             buckets = sorted({term_bucket(t, self.cfg.n_buckets) for t in missing})
-            rows = (read_dict(self.spark, self.root)
+            rows = (self._dict_df
                     .where(F.col("bucket").isin(buckets))
                     .where(F.col("term").isin(missing))
                     .select("term", "df").collect())
@@ -100,7 +104,7 @@ class Index:
 
         buckets = sorted({term_bucket(t, self.cfg.n_buckets) for t in terms})
         blocks = (
-            read_postings(spark, self.root)
+            self._postings_df
             .where(F.col("bucket").isin(buckets))
             .where(F.col("term").isin(terms))
             .select("term", "chunk", "first_doc_id", "num_docs",

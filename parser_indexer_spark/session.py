@@ -24,6 +24,11 @@ def get_spark(app: str = "parser-indexer-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.adaptive.enabled", "true")
+        # small-corpus scans must still parallelize across all cores —
+        # default 128MB/4MB packing gives a 60MB table ~1 task (verified:
+        # it serialized the whole tokenize stage at local[32])
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,59 @@
+"""Child process for tools/bench_scaling.py — one parallelism level.
+Usage: python tools/_scaling_child.py <master> <cores> <input> <out>"""
+
+import json
+import shutil
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parser_indexer_spark.session import get_spark  # noqa: E402
+from parser_indexer_spark.build import build_index  # noqa: E402
+from parser_indexer_spark.config import EngineConfig  # noqa: E402
+from parser_indexer_spark.search import Index  # noqa: E402
+
+
+def main() -> None:
+    master, cores, input_path, out_dir = (
+        sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    spark = get_spark(app="scaling-" + master, master=master,
+                      shuffle_partitions=max(8, 2 * cores))
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(input_path)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = EngineConfig(n_buckets=32, build_partitions=2 * cores,
+                       salt_df_threshold=50_000, n_salts=16, chunk_bits=15)
+    t0 = time.perf_counter()
+    manifest = build_index(spark, df, out_dir, cfg, segments=1,
+                           input_desc=input_path)
+    wall = time.perf_counter() - t0
+    res = {"master": master, "wall_sec": round(wall, 2),
+           "n_turns": manifest["stats"]["n_docs"],
+           "turns_per_sec": round(manifest["stats"]["n_docs"] / wall, 1),
+           "stats": manifest["stats"],
+           "conf": {"shuffle_partitions": max(8, 2 * cores),
+                    "build_partitions": 2 * cores,
+                    "arrow_max_records_per_batch": 65536}}
+    queries = [("spark", "OR"), ("join", "OR"), ("w1999", "OR"),
+               ("spark join", "OR"), ("spark join", "AND"),
+               ("hash agg", "AND"), ("sort merge w0042", "OR"),
+               ("window partition order", "AND"), ("SPARK, Join!", "OR"),
+               ("w0000 w0100 w0500", "OR")]
+    ix = Index(spark, out_dir)
+    lat = []
+    for _rep in range(3):
+        for q, mode in queries:
+            t1 = time.perf_counter()
+            ix.search(q, k=10, mode=mode).collect()
+            lat.append(time.perf_counter() - t1)
+    lat.sort()
+    res["query_p50_sec"] = round(lat[len(lat) // 2], 4)
+    res["query_p95_sec"] = round(lat[int(0.95 * (len(lat) - 1))], 4)
+    print("CHILD_RESULT " + json.dumps(res))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -24,54 +24,17 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CHILD = r"""
-import json, shutil, sys, time
-sys.path.insert(0, {root!r})
-from parser_indexer_spark.session import get_spark
-from parser_indexer_spark.build import build_index
-from parser_indexer_spark.config import EngineConfig
-from parser_indexer_spark.search import Index
-
-master, cores, input_path, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
-spark = get_spark(app="scaling-" + master, master=master,
-                  shuffle_partitions=max(8, 2 * cores))
-spark.sparkContext.setLogLevel("ERROR")
-df = spark.read.parquet(input_path)
-shutil.rmtree(out_dir, ignore_errors=True)
-cfg = EngineConfig(n_buckets=32, build_partitions=2 * cores,
-                   salt_df_threshold=50_000, n_salts=16, chunk_bits=15)
-t0 = time.perf_counter()
-manifest = build_index(spark, df, out_dir, cfg, segments=1,
-                       input_desc=input_path)
-wall = time.perf_counter() - t0
-res = {"master": master, "wall_sec": round(wall, 2),
-       "n_turns": manifest["stats"]["n_docs"],
-       "turns_per_sec": round(manifest["stats"]["n_docs"] / wall, 1),
-       "stats": manifest["stats"]}
-queries = [("spark", "OR"), ("join", "OR"), ("w1999", "OR"),
-           ("spark join", "OR"), ("spark join", "AND"), ("hash agg", "AND"),
-           ("sort merge w0042", "OR"), ("window partition order", "AND"),
-           ("SPARK, Join!", "OR"), ("w0000 w0100 w0500", "OR")]
-ix = Index(spark, out_dir)
-lat = []
-for rep in range(3):
-    for q, mode in queries:
-        t0 = time.perf_counter()
-        ix.search(q, k=10, mode=mode).collect()
-        lat.append(time.perf_counter() - t0)
-lat.sort()
-res["query_p50_sec"] = round(lat[len(lat)//2], 4)
-res["query_p95_sec"] = round(lat[int(0.95 * (len(lat) - 1))], 4)
-print("CHILD_RESULT " + json.dumps(res))
-spark.stop()
-"""
-
-
 def run_child(master: str, cores: int, input_path: str, out_dir: str) -> dict:
-    script = CHILD.format(root=ROOT)
-    proc = subprocess.run(
-        [sys.executable, "-c", script, master, str(cores), input_path, out_dir],
-        capture_output=True, text=True, timeout=3600)
+    """Run one parallelism level in a fresh process, CPU-affinity-confined to
+    exactly `cores` CPUs (taskset): in unconfined local[N] the N task threads
+    plus N Python workers spread over ALL host cores, so the small
+    'cluster' overdelivers and understates scaling efficiency. Confinement
+    models real N-core executors."""
+    child = os.path.join(ROOT, "tools", "_scaling_child.py")
+    cmd = [sys.executable, child, master, str(cores), input_path, out_dir]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in proc.stdout.splitlines():
         if line.startswith("CHILD_RESULT "):
             return json.loads(line[len("CHILD_RESULT "):])
