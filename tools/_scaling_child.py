@@ -36,6 +36,10 @@ def main() -> None:
            "conf": {"shuffle_partitions": max(8, 2 * cores),
                     "build_partitions": 2 * cores,
                     "arrow_max_records_per_batch": 65536}}
+    if os.environ.get("SCALING_SKIP_QUERIES"):
+        print("CHILD_RESULT " + json.dumps(res))
+        spark.stop()
+        return
     queries = [("spark", "OR"), ("join", "OR"), ("w1999", "OR"),
                ("spark join", "OR"), ("spark join", "AND"),
                ("hash agg", "AND"), ("sort merge w0042", "OR"),
