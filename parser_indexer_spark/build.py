@@ -59,74 +59,115 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
+def _encode_rows(terms: np.ndarray, d: np.ndarray, t: np.ndarray,
+                 l: np.ndarray, cfg: EngineConfig) -> pd.DataFrame:
+    """Vectorized block construction for a (term, doc_id)-sorted row range
+    containing only COMPLETE term runs. One varint_encode_stream call per
+    column for the whole range; per-block work is just byte slicing.
+    (A per-block numpy-encode variant measured ~55us/block — the stream
+    encode + slice is ~20x cheaper on tail terms.)"""
+    from parser_indexer_spark.codec import varint_encode_stream
+
+    bs, cbits, nb = cfg.block_size, cfg.chunk_bits, cfg.n_buckets
+    n = d.size
+    # segment cuts: term change OR chunk change
+    chunk = d >> np.int64(cbits)
+    cut = np.empty(n, dtype=bool)
+    cut[0] = True
+    cut[1:] = (terms[1:] != terms[:-1]) | (chunk[1:] != chunk[:-1])
+    seg_starts = np.flatnonzero(cut)
+    seg_lens = np.diff(np.append(seg_starts, n))
+    # blocks: every seg split into ceil(len/bs) pieces (grouped arange)
+    nblocks = -(-seg_lens // bs)
+    tot = int(nblocks.sum())
+    seg_of_block = np.repeat(np.arange(seg_starts.size), nblocks)
+    first_block_of_seg = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
+    within = np.arange(tot) - first_block_of_seg[seg_of_block]
+    bstarts = seg_starts[seg_of_block] + within * bs
+    bends = np.minimum(bstarts + bs, (seg_starts + seg_lens)[seg_of_block])
+
+    # per-block gaps: first gap of each block is 0 (base = first_doc_id)
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = 0
+    gaps[1:] = d[1:] - d[:-1]
+    gaps[bstarts] = 0
+    nonstart = np.ones(n, dtype=bool)
+    nonstart[bstarts] = False
+    if n and nonstart.any() and gaps[nonstart].min() <= 0:
+        raise ValueError("doc_ids not strictly ascending within term run")
+
+    d_stream, d_nb = varint_encode_stream(gaps.astype(np.uint64))
+    t_stream, t_nb = varint_encode_stream(t.astype(np.uint64))
+    l_stream, l_nb = varint_encode_stream(l.astype(np.uint64))
+    d_off = np.concatenate(([0], np.cumsum(d_nb)))
+    t_off = np.concatenate(([0], np.cumsum(t_nb)))
+    l_off = np.concatenate(([0], np.cumsum(l_nb)))
+    d_mv, t_mv, l_mv = memoryview(d_stream), memoryview(t_stream), memoryview(l_stream)
+
+    max_tf = np.maximum.reduceat(t, bstarts)
+    min_dl = np.minimum.reduceat(l, bstarts)
+    sum_tf = np.add.reduceat(t, bstarts)
+    bterms = terms[bstarts]
+    uniq = pd.unique(bterms)
+    bmap = {u: term_bucket(u, nb) for u in uniq}
+    buckets = pd.Series(bterms).map(bmap).to_numpy(dtype=np.int32)
+
+    docs_enc = [b"V" + d_mv[d_off[s]:d_off[e]].tobytes()
+                for s, e in zip(bstarts.tolist(), bends.tolist())]
+    tfs_enc = [b"V" + t_mv[t_off[s]:t_off[e]].tobytes()
+               for s, e in zip(bstarts.tolist(), bends.tolist())]
+    dls_enc = [b"V" + l_mv[l_off[s]:l_off[e]].tobytes()
+               for s, e in zip(bstarts.tolist(), bends.tolist())]
+
+    return pd.DataFrame({
+        "term": bterms,
+        "bucket": buckets,
+        "chunk": chunk[bstarts],
+        "first_doc_id": d[bstarts],
+        "last_doc_id": d[bends - 1],
+        "num_docs": (bends - bstarts).astype(np.int32),
+        "max_tf": max_tf.astype(np.int32),
+        "min_dl": min_dl.astype(np.int32),
+        "sum_tf": sum_tf.astype(np.int64),
+        "docs_enc": docs_enc,
+        "tfs_enc": tfs_enc,
+        "dls_enc": dls_enc,
+    })
+
+
 def make_block_builder(cfg: EngineConfig):
     """mapInPandas stage: sorted (term, doc_id, tf, dl) rows -> posting-block
     rows. Input partition MUST be sorted by (term, doc_id); term runs may span
-    Arrow batches (carry buffer). Blocks never cross a chunk boundary so all
-    terms' blocks align on the same doc-range grid (enables the one-shuffle
-    AND intersection, D4)."""
-    bs, cbits, nb = cfg.block_size, cfg.chunk_bits, cfg.n_buckets
-
-    def emit_run(term: str, d: np.ndarray, t: np.ndarray, l: np.ndarray, out: list):
-        bucket = term_bucket(term, nb)
-        chunks = d >> cbits
-        seg_change = np.flatnonzero(np.diff(chunks)) + 1
-        seg_starts = np.concatenate(([0], seg_change))
-        seg_ends = np.concatenate((seg_change, [d.size]))
-        for s, e in zip(seg_starts.tolist(), seg_ends.tolist()):
-            for b0 in range(s, e, bs):
-                b1 = min(b0 + bs, e)
-                dd, tt, ll = d[b0:b1], t[b0:b1], l[b0:b1]
-                first = int(dd[0])
-                out.append((
-                    term, bucket, first >> cbits, first, int(dd[-1]),
-                    b1 - b0, int(tt.max()), int(ll.min()), int(tt.sum()),
-                    for_encode(delta_encode(dd, first)),
-                    for_encode(tt.astype(np.uint64)),
-                    for_encode(ll.astype(np.uint64)),
-                ))
+    Arrow batches (the last run of each batch is carried into the next).
+    Blocks never cross a chunk boundary so all terms' blocks align on the
+    same doc-range grid (enables the one-shuffle AND intersection, D4)."""
 
     def builder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cterm: Optional[str] = None
-        cd: list = []
-        ct: list = []
-        cl: list = []
+        carry: Optional[pd.DataFrame] = None
         for pdf in batches:
             if pdf.empty:
                 continue
-            out: list = []
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
             terms = pdf["term"].to_numpy()
-            d = pdf["doc_id"].to_numpy(dtype=np.int64)
-            t = pdf["tf"].to_numpy(dtype=np.int64)
-            l = pdf["dl"].to_numpy(dtype=np.int64)
-            change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
-            starts = np.concatenate(([0], change)).tolist()
-            ends = np.concatenate((change, [len(terms)])).tolist()
-            for i, (s, e) in enumerate(zip(starts, ends)):
-                term = terms[s]
-                is_last = i == len(starts) - 1
-                if cterm is not None and term == cterm:
-                    cd.append(d[s:e]); ct.append(t[s:e]); cl.append(l[s:e])
-                    if not is_last:
-                        emit_run(cterm, np.concatenate(cd),
-                                 np.concatenate(ct), np.concatenate(cl), out)
-                        cterm, cd, ct, cl = None, [], [], []
-                else:
-                    if cterm is not None:
-                        emit_run(cterm, np.concatenate(cd),
-                                 np.concatenate(ct), np.concatenate(cl), out)
-                        cterm, cd, ct, cl = None, [], [], []
-                    if is_last:
-                        cterm, cd, ct, cl = term, [d[s:e]], [t[s:e]], [l[s:e]]
-                    else:
-                        emit_run(term, d[s:e], t[s:e], l[s:e], out)
-            if out:
-                yield pd.DataFrame(out, columns=POSTINGS_COLS)
-        if cterm is not None:
-            out = []
-            emit_run(cterm, np.concatenate(cd), np.concatenate(ct),
-                     np.concatenate(cl), out)
-            yield pd.DataFrame(out, columns=POSTINGS_COLS)
+            # hold back the (possibly incomplete) final term run
+            last_start = int(np.flatnonzero(terms != terms[-1]).max() + 1) \
+                if terms[0] != terms[-1] else 0
+            carry = pdf.iloc[last_start:]
+            head = pdf.iloc[:last_start]
+            if len(head):
+                yield _encode_rows(
+                    head["term"].to_numpy(),
+                    head["doc_id"].to_numpy(dtype=np.int64),
+                    head["tf"].to_numpy(dtype=np.int64),
+                    head["dl"].to_numpy(dtype=np.int64), cfg)
+        if carry is not None and len(carry):
+            yield _encode_rows(
+                carry["term"].to_numpy(),
+                carry["doc_id"].to_numpy(dtype=np.int64),
+                carry["tf"].to_numpy(dtype=np.int64),
+                carry["dl"].to_numpy(dtype=np.int64), cfg)
 
     return builder
 

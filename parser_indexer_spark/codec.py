@@ -29,18 +29,27 @@ _SHIFTS10 = np.arange(10, dtype=np.uint64) * np.uint64(7)
 
 # ---------------------------------------------------------------- varint ---
 
-def varint_encode(vals: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array. Vectorized: byte-width by 9 threshold
-    comparisons, a (n,10) byte matrix, then a mask flatten."""
+def varint_encode_stream(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; returns (raw stream WITHOUT codec tag,
+    per-value byte counts). The byte counts let a caller slice the stream
+    into sub-ranges (e.g. per posting block) without re-encoding — the
+    whole-batch fast path of the block builder."""
     v = np.ascontiguousarray(vals, dtype=_U64)
     if v.size == 0:
-        return b"V"
+        return b"", np.empty(0, dtype=np.int64)
     nbytes = 1 + (v[:, None] >= _VARINT_THRESH[None, :]).sum(axis=1)
     mat = ((v[:, None] >> _SHIFTS10[None, :]) & _U64(0x7F)).astype(np.uint8)
     pos = np.arange(10)[None, :]
     mat |= (pos < (nbytes[:, None] - 1)).astype(np.uint8) << 7
     out = mat[pos < nbytes[:, None]]
-    return b"V" + out.tobytes()
+    return out.tobytes(), nbytes.astype(np.int64)
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized: byte-width by 9 threshold
+    comparisons, a (n,10) byte matrix, then a mask flatten."""
+    stream, _ = varint_encode_stream(vals)
+    return b"V" + stream
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

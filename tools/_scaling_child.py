@@ -24,7 +24,7 @@ def main() -> None:
     df = spark.read.parquet(input_path)
     shutil.rmtree(out_dir, ignore_errors=True)
     cfg = EngineConfig(n_buckets=32, build_partitions=2 * cores,
-                       salt_df_threshold=50_000, n_salts=16, chunk_bits=15)
+                       salt_df_threshold=50_000, n_salts=16, chunk_bits=17)
     t0 = time.perf_counter()
     manifest = build_index(spark, df, out_dir, cfg, segments=1,
                            input_desc=input_path)
