@@ -4,12 +4,21 @@ A real N vs 4N executor cluster is unavailable in the sandbox; per the
 driver's instruction the SAME job runs at two parallelism levels on the SAME
 input and we report throughput at both plus efficiency:
 
-    python tools/bench_scaling.py [--turns 1000000]
+    python tools/bench_scaling.py [--turns 4000000] [--n 2]
+
+Parallelism levels: N=2 cores vs 4N=8 cores by default, each child
+CPU-affinity-confined with taskset. Why not local[8] vs local[32]: the
+sandbox's 32 vCPUs are hypervisor-overcommitted — /proc/stat steal advanced
+~118 CPU-seconds during a 16-second 32-process spin test, and per-process
+throughput halves beyond ~8-12 workers — so a 32-thread run measures steal,
+not the engine. 2-vs-8 confined cores stay inside the machine's REAL
+capacity while preserving the contractual 4x factor.
 
 Orchestration: (1) generate the synthetic transcript corpus once to parquet
-(seed=42, FIXTURES.md §1); (2) run the index build in a FRESH subprocess at
-local[8], then local[32] (separate JVMs — no warm-cache bleed); (3) run the
-fixture query set at local[32] for p95 latency; (4) write
+(seed=42, FIXTURES.md §1); (2) run the index build in a FRESH taskset-
+confined subprocess at local[N], then local[4N] (separate JVMs — no warm-
+cache bleed; heap scales with cores like real executors); (3) run the
+fixture query set at local[4N] for p95 latency; (4) write
 BENCH_SCALING.json and print a summary to paste into BASELINE.md.
 """
 
@@ -43,7 +52,9 @@ def run_child(master: str, cores: int, input_path: str, out_dir: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--turns", type=int, default=1_000_000)
+    ap.add_argument("--turns", type=int, default=4_000_000)
+    ap.add_argument("--n", type=int, default=2,
+                    help="N cores; the second run uses 4N")
     ap.add_argument("--workdir", default="/tmp/bench_scaling")
     args = ap.parse_args()
 
@@ -61,18 +72,24 @@ def main() -> None:
         spark.stop()
         print(f"generated {input_path}")
 
-    r8 = run_child("local[8]", 8, input_path, os.path.join(args.workdir, "idx8"))
-    print(json.dumps(r8, indent=1))
-    r32 = run_child("local[32]", 32, input_path, os.path.join(args.workdir, "idx32"))
-    print(json.dumps(r32, indent=1))
+    n, n4 = args.n, 4 * args.n
+    os.environ["SCALING_SKIP_QUERIES"] = "1"
+    rn = run_child(f"local[{n}]", n, input_path,
+                   os.path.join(args.workdir, f"idx{n}"))
+    print(json.dumps(rn, indent=1))
+    os.environ.pop("SCALING_SKIP_QUERIES", None)
+    r4n = run_child(f"local[{n4}]", n4, input_path,
+                    os.path.join(args.workdir, f"idx{n4}"))
+    print(json.dumps(r4n, indent=1))
 
-    eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / 4.0
+    eff = (r4n["turns_per_sec"] / rn["turns_per_sec"]) / 4.0
     summary = {
-        "protocol": "same job, same input, local[8] vs local[32] "
-                    "(N vs 4N stand-in per driver instruction)",
-        "n_turns": r8["n_turns"],
-        "local8": r8,
-        "local32": r32,
+        "protocol": f"same job, same input, taskset-confined local[{n}] vs "
+                    f"local[{n4}] (N vs 4N stand-in per driver instruction; "
+                    "see module docstring for why 32 vCPUs are unusable)",
+        "n_turns": rn["n_turns"],
+        "n_cores": rn,
+        "n4_cores": r4n,
         "scaling_efficiency_n_to_4n": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
