@@ -99,6 +99,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": relops.dedup_exact,
         "minhash_signature": relops.minhash_signature,
         "ann_cosine": relops.ann_cosine,
+        "ann_cosine_lsh": relops.ann_cosine_lsh,
+        "quality_score": relops.quality_score,
+        "token_stats": relops.token_stats,
+        "lang_guess": relops.lang_guess,
+        "simhash8": relops.simhash8,
     }
 
 
@@ -255,4 +260,79 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(c, 6) AS cosine
             FROM s ORDER BY c DESC, vec_id LIMIT 20""",
+        "ann_cosine_lsh": """
+            WITH planes AS (
+              SELECT p, list_transform(
+                       range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
+                       j -> (CAST((j+1)*(p*7+3)*2654435761 % 1000 AS DOUBLE) - 500)/250.0
+                     ) AS h
+              FROM (SELECT unnest([0,1,2,3]) AS p)
+            ),
+            eb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e,
+                     (CASE WHEN list_dot_product(embedding::DOUBLE[], (SELECT h FROM planes WHERE p=0)) >= 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN list_dot_product(embedding::DOUBLE[], (SELECT h FROM planes WHERE p=1)) >= 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN list_dot_product(embedding::DOUBLE[], (SELECT h FROM planes WHERE p=2)) >= 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN list_dot_product(embedding::DOUBLE[], (SELECT h FROM planes WHERE p=3)) >= 0 THEN 8 ELSE 0 END)
+                     AS bucket
+              FROM embeddings
+            ),
+            q AS (SELECT e AS qe, bucket AS qbucket FROM eb WHERE vec_id = 0),
+            s AS (
+              SELECT vec_id,
+                     list_dot_product(e, qe)
+                     / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS c
+              FROM eb, q WHERE eb.bucket = q.qbucket AND vec_id <> 0
+            )
+            SELECT vec_id, round(c, 6) AS cosine
+            FROM s ORDER BY c DESC, vec_id LIMIT 10""",
+        "quality_score": f"""
+            WITH tok AS (SELECT doc_id, n_chars, {_TOK} AS toks FROM documents)
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   round(n_chars * 1.0 / greatest(len(toks), 1), 4) AS chars_per_token,
+                   round(len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','and','to','in','is','on','for','with',
+                        'as','by','at','from','or','an','be','this','that','it'], x)))
+                       * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio,
+                   round(len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+')))
+                       * 1.0 / greatest(len(toks), 1), 4) AS digit_ratio
+            FROM tok""",
+        "token_stats": f"""
+            SELECT source, count(*) AS n_tokens, count(DISTINCT term) AS n_terms
+            FROM (SELECT source, unnest({_TOK}) AS term FROM documents)
+            GROUP BY source""",
+        "lang_guess": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            h AS (SELECT doc_id,
+                    len(list_filter(toks, x -> list_contains(['the','fast','small'], x))) AS hits_en,
+                    len(list_filter(toks, x -> list_contains(['agg','data','dup'], x))) AS hits_es,
+                    len(list_filter(toks, x -> list_contains(['hash','window','stream'], x))) AS hits_de
+                  FROM tok)
+            SELECT doc_id, hits_en, hits_es, hits_de,
+                   CASE WHEN hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+                        WHEN hits_es >= hits_de THEN 'es' ELSE 'de' END AS lang_guess
+            FROM h""",
+        "simhash8": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            hv AS (SELECT doc_id,
+                     (strpos('0123456789abcdef', substr(md5(term),1,1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(term),2,1)) - 1) AS hv
+                   FROM tok),
+            g AS (SELECT doc_id, count(*) AS n,
+                    sum((hv // 1) % 2)  AS b0, sum((hv // 2) % 2)  AS b1,
+                    sum((hv // 4) % 2)  AS b2, sum((hv // 8) % 2)  AS b3,
+                    sum((hv // 16) % 2) AS b4, sum((hv // 32) % 2) AS b5,
+                    sum((hv // 64) % 2) AS b6, sum((hv // 128) % 2) AS b7
+                  FROM hv GROUP BY doc_id)
+            SELECT doc_id, CAST(
+                   (CASE WHEN b0*2 > n THEN 1   ELSE 0 END)
+                 + (CASE WHEN b1*2 > n THEN 2   ELSE 0 END)
+                 + (CASE WHEN b2*2 > n THEN 4   ELSE 0 END)
+                 + (CASE WHEN b3*2 > n THEN 8   ELSE 0 END)
+                 + (CASE WHEN b4*2 > n THEN 16  ELSE 0 END)
+                 + (CASE WHEN b5*2 > n THEN 32  ELSE 0 END)
+                 + (CASE WHEN b6*2 > n THEN 64  ELSE 0 END)
+                 + (CASE WHEN b7*2 > n THEN 128 ELSE 0 END) AS INT) AS simhash8
+            FROM g""",
     }

@@ -240,3 +240,133 @@ def ann_cosine(spark, sf_dir):
                .select("vec_id", cos.alias("_exact"))
                .orderBy(F.desc("_exact"), F.asc("vec_id")).limit(20)
                .select("vec_id", F.round("_exact", 6).alias("cosine")))
+
+
+# ------------------------------------ text analysis (training-data ops) ---
+
+_STOPWORDS = ("the a of and to in is on for with as by at from or an be "
+              "this that it").split()
+
+
+def quality_score(spark, sf_dir):
+    """Document quality heuristics: token count, mean token length,
+    stopword ratio, digit ratio — pure JVM expressions, fully
+    SQL-expressible (training-data pipeline quality gate)."""
+    d = T(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                      lambda x: x != "")
+    n_tok = F.size(tokens)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda x: F.array_contains(stop_arr, x)))
+    n_digit = F.size(F.filter(tokens, lambda x: x.rlike("^[0-9]+$")))
+    return (d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(F.col("n_chars") / F.greatest(n_tok, F.lit(1)), 4)
+         .alias("chars_per_token"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(n_digit / F.greatest(n_tok, F.lit(1)), 4).alias("digit_ratio"),
+    ))
+
+
+def token_stats(spark, sf_dir):
+    """Corpus token accounting: docs, total tokens, distinct terms per
+    source partition (the 'how big is my training set' query)."""
+    d = T(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                      lambda x: x != "")
+    e = d.select("source", F.explode(tokens).alias("term"))
+    return (e.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("n_terms")))
+
+
+def lang_guess(spark, sf_dir):
+    """Heuristic language ID over a known tiny phrasebook: argmax by hit
+    count of per-language marker words; deterministic tie-break by language
+    code. (The real corpus text is English-ish synthetic, so the guess
+    column mostly exercises the machinery: CASE/array ops, argmax.)"""
+    markers = {
+        "en": ["the", "fast", "small"],
+        "es": ["agg", "data", "dup"],
+        "de": ["hash", "window", "stream"],
+    }
+    d = T(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                      lambda x: x != "")
+    hits = {}
+    for lang, ws in markers.items():
+        arr = F.array(*[F.lit(w) for w in ws])
+        hits[lang] = F.size(F.filter(tokens, lambda x: F.array_contains(arr, x)))
+    best = F.when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]), "en") \
+            .when(hits["es"] >= hits["de"], "es").otherwise("de")
+    return d.select("doc_id", hits["en"].alias("hits_en"),
+                    hits["es"].alias("hits_es"), hits["de"].alias("hits_de"),
+                    best.alias("lang_guess"))
+
+
+def simhash8(spark, sf_dir):
+    """8-bit SimHash fingerprint: per doc, bit i = majority over tokens of
+    bit i of md5(token). Cross-engine deterministic because md5 is; the
+    LSH-style near-dup grouping key for fuzzy dedup."""
+    d = T(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                      lambda x: x != "")
+    e = d.select("doc_id", F.explode(tokens).alias("term"))
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 2), 16, 10).cast("int")
+    e = e.select("doc_id", h.alias("hv"), F.lit(1).alias("one"))
+    aggs = [F.count("*").alias("n")]
+    for i in range(8):
+        aggs.append(F.sum(((F.col("hv") / (2 ** i)).cast("int") % 2))
+                    .alias(f"b{i}"))
+    g = e.groupBy("doc_id").agg(*aggs)
+    sig = sum([(F.when(F.col(f"b{i}") * 2 > F.col("n"), 2 ** i).otherwise(0))
+               for i in range(8)], F.lit(0))
+    return g.select("doc_id", sig.cast("int").alias("simhash8"))
+
+
+def ann_cosine_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path next to the exact ann_cosine
+    baseline): 4 deterministic pseudo-random hyperplanes (seeded from the
+    embedding index via cos/sin — identical arithmetic in DuckDB), bucket =
+    sign bits; exact cosine re-rank WITHIN the query's bucket.
+    At 100 TB the bucket join replaces the full scan: candidates co-locate
+    by a single equi-join on the bucket key."""
+    emb = T(spark, sf_dir, "embeddings")
+    first = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    dim = len(first)
+
+    def plane(p):
+        # deterministic pseudo-random hyperplane from EXACT integer
+        # arithmetic (identical doubles in DuckDB — libm cos() may differ
+        # in the last ulp and flip a sign bit at the bucket boundary)
+        return [((j + 1) * (p * 7 + 3) * 2654435761 % 1000 - 500) / 250.0
+                for j in range(dim)]
+
+    def dot_with(vals):
+        lit = F.array(*[F.lit(v) for v in vals])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), lit,
+                       lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = sum([(F.when(dot_with(plane(p)) >= 0, 2 ** p).otherwise(0))
+                  for p in range(4)], F.lit(0)).alias("bucket")
+    with_b = emb.select("vec_id", "embedding", bucket)
+    qb = with_b.where(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"),
+        F.col("embedding").alias("qe")).first()
+    qe, qbucket = qb["qe"], qb["qbucket"]
+    qlit = F.array(*[F.lit(float(x)) for x in qe])
+    dot = F.aggregate(F.zip_with(F.col("embedding"), qlit,
+                                 lambda a, b: a.cast("double") * b.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"), lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    qn = float(sum(float(x) * float(x) for x in qe)) ** 0.5
+    cos = dot / (nrm * F.lit(qn))
+    return (with_b.where((F.col("bucket") == qbucket) & (F.col("vec_id") != 0))
+            .select("vec_id", cos.alias("_exact"))
+            .orderBy(F.desc("_exact"), F.asc("vec_id")).limit(10)
+            .select("vec_id", F.round("_exact", 6).alias("cosine")))
