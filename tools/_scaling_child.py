@@ -30,13 +30,25 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     cfg = EngineConfig(n_buckets=32, build_partitions=2 * cores,
                        salt_df_threshold=50_000, n_salts=16, chunk_bits=17)
+    import resource
+
+    def cpu_now() -> float:
+        a = resource.getrusage(resource.RUSAGE_SELF)
+        b = resource.getrusage(resource.RUSAGE_CHILDREN)
+        return a.ru_utime + a.ru_stime + b.ru_utime + b.ru_stime
+
     t0 = time.perf_counter()
+    c0 = cpu_now()
     manifest = build_index(spark, df, out_dir, cfg, segments=1,
                            input_desc=input_path)
     wall = time.perf_counter() - t0
+    # cpu covers the in-process JVM (local mode) + reaped Python workers
+    cpu = cpu_now() - c0
     res = {"master": master, "wall_sec": round(wall, 2),
+           "cpu_sec": round(cpu, 1),
            "n_turns": manifest["stats"]["n_docs"],
            "turns_per_sec": round(manifest["stats"]["n_docs"] / wall, 1),
+           "cpu_us_per_turn": round(cpu * 1e6 / manifest["stats"]["n_docs"], 1),
            "stats": manifest["stats"],
            "conf": {"shuffle_partitions": max(8, 2 * cores),
                     "build_partitions": 2 * cores,
