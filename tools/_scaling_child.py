@@ -30,12 +30,34 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     cfg = EngineConfig(n_buckets=32, build_partitions=2 * cores,
                        salt_df_threshold=50_000, n_salts=16, chunk_bits=17)
+    import glob
     import resource
 
     def cpu_now() -> float:
-        a = resource.getrusage(resource.RUSAGE_SELF)
+        """CPU seconds of this process TREE (live JVM + python workers via
+        /proc, since rusage(CHILDREN) only counts reaped children) plus
+        reaped-children rusage. Steal-immune scaling metric."""
+        procs = {}
+        for st in glob.glob("/proc/[0-9]*/stat"):
+            try:
+                head, tail = open(st).read().rsplit(")", 1)
+                pid_i = int(head.split(" ")[0])
+                f = tail.split()
+                procs[pid_i] = (int(f[1]), int(f[11]) + int(f[12]))
+            except Exception:
+                pass
+        desc = {os.getpid()}
+        changed = True
+        while changed:
+            changed = False
+            for p, (pp, _) in procs.items():
+                if pp in desc and p not in desc:
+                    desc.add(p)
+                    changed = True
+        hz = os.sysconf("SC_CLK_TCK")
+        live = sum(procs[p][1] for p in desc if p in procs) / hz
         b = resource.getrusage(resource.RUSAGE_CHILDREN)
-        return a.ru_utime + a.ru_stime + b.ru_utime + b.ru_stime
+        return live + b.ru_utime + b.ru_stime
 
     t0 = time.perf_counter()
     c0 = cpu_now()
