@@ -18,7 +18,8 @@ Physical plan per segment (doc_id range slice):
          chunk-aligned blocks needing no re-merge
       -> repartition(P, term, _salt) + sortWithinPartitions(term, doc_id)
       -> mapInPandas block builder         (C3-C6: cut at <=block_size AND
-                                            chunk boundaries; delta + FOR)
+                                            chunk boundaries; delta + stream
+                                            varint; FOR available in codec)
       -> write partitionBy(bucket)         (A4: shard writer)
       -> per-segment manifest row          (C12-C13: metrics + lineage)
 
@@ -39,7 +40,7 @@ import pyspark.sql.functions as F
 from pyspark.storagelevel import StorageLevel
 
 from parser_indexer_spark.analyze import TOKENIZE_TF_SCHEMA, tokenize_tf_batches
-from parser_indexer_spark.codec import delta_encode, for_encode
+from parser_indexer_spark.codec import varint_encode_stream  # noqa: F401 (used in _encode_rows)
 from parser_indexer_spark.config import EngineConfig
 from parser_indexer_spark.docids import assign_doc_ids
 from parser_indexer_spark.manifest import (
@@ -66,7 +67,7 @@ def _encode_rows(terms: np.ndarray, d: np.ndarray, t: np.ndarray,
     column for the whole range; per-block work is just byte slicing.
     (A per-block numpy-encode variant measured ~55us/block — the stream
     encode + slice is ~20x cheaper on tail terms.)"""
-    from parser_indexer_spark.codec import varint_encode_stream
+
 
     bs, cbits, nb = cfg.block_size, cfg.chunk_bits, cfg.n_buckets
     n = d.size
