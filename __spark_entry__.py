@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": relops.minhash_signature,
         "ann_cosine": relops.ann_cosine,
         "ann_cosine_lsh": relops.ann_cosine_lsh,
+        "asof_join": relops.asof_join,
         "quality_score": relops.quality_score,
         "token_stats": relops.token_stats,
         "lang_guess": relops.lang_guess,
@@ -260,6 +261,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(c, 6) AS cosine
             FROM s ORDER BY c DESC, vec_id LIMIT 20""",
+        "asof_join": """
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   strftime(last_view, '%Y-%m-%d %H:%M:%S') AS asof_view_ts
+            FROM (
+              SELECT event_id, user_id, ts, event_type,
+                     last_value(CASE WHEN event_type = 'view' THEN ts END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_view
+              FROM events)
+            WHERE event_type = 'error'""",
         "ann_cosine_lsh": """
             WITH planes AS (
               SELECT p, list_transform(

@@ -370,3 +370,23 @@ def ann_cosine_lsh(spark, sf_dir):
             .select("vec_id", cos.alias("_exact"))
             .orderBy(F.desc("_exact"), F.asc("vec_id")).limit(10)
             .select("vec_id", F.round("_exact", 6).alias("cosine")))
+
+
+def asof_join(spark, sf_dir):
+    """As-of join (SURVEY.md §2.E flagged this absent in the reference):
+    for every 'error' event, the most recent prior 'view' ts by the same
+    user. Implemented as the scale-safe windowed formulation — one sort per
+    user partition, no O(n*m) range join: running last_value(view ts,
+    ignore nulls) over (user, ts, event_id) order."""
+    e = T(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (e.withColumn("asof_view_ts", last_view)
+             .where(F.col("event_type") == "error")
+             .select("event_id", "user_id",
+                     F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                     F.date_format("asof_view_ts", "yyyy-MM-dd HH:mm:ss")
+                      .alias("asof_view_ts")))
