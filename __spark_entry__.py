@@ -58,6 +58,14 @@ def topk_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def topk_bm25_and_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND with an index-absent term -> empty (required-term semantics,
+    [public: Lucene BooleanQuery MUST]; ADVICE r1)."""
+    ix = _documents_index(spark, sf_dir)
+    top = ix.search("hash agg zzzabsentterm", k=_FLAGSHIP_K, mode="AND")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def term_dict_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index dictionary (C7): df/cf per term, recomputable in SQL."""
     ix = _documents_index(spark, sf_dir)
@@ -75,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fulltext index + BM25 path (SURVEY.md §2.C/D — the north rule)
         "topk_bm25": topk_bm25,
         "topk_bm25_and": topk_bm25_and,
+        "topk_bm25_and_absent": topk_bm25_and_absent,
         "term_dict_stats": term_dict_stats,
         # relational coverage (SURVEY.md §2.E)
         "project_filter": relops.project_filter,
@@ -149,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "topk_bm25": _bm25_sql("'join', 'spark'", "OR", _FLAGSHIP_K),
         "topk_bm25_and": _bm25_sql("'agg', 'hash', 'scan'", "AND", _FLAGSHIP_K),
+        "topk_bm25_and_absent": _bm25_sql(
+            "'agg', 'hash', 'zzzabsentterm'", "AND", _FLAGSHIP_K),
         "term_dict_stats": f"""
             SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM (
               SELECT doc_id, term, count(*) AS tf

@@ -55,8 +55,13 @@ def append_segment(spark: SparkSession, root: str, batch: DataFrame,
         n_new, max_id = int(agg[0]), agg[1]
         if n_new == 0:
             return read_json(p.manifest) if os.path.exists(p.manifest) else {}
+        # dynamic partition overwrite: a replayed batch (crash between the
+        # docs write and the docs_marker update) rewrites ONLY its seg=N
+        # partition instead of appending duplicates — idempotent per segment
         (ids.withColumn("seg", F.lit(seg))
-            .write.mode("append").partitionBy("seg").parquet(p.docs))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg").parquet(p.docs))
         tf = ids.select("doc_id", "text") \
                 .mapInPandas(tokenize_tf_batches, TOKENIZE_TF_SCHEMA)
         n_hot = invert_and_write_segment(spark, p, seg, cfg, tf,
@@ -78,7 +83,8 @@ def incremental_index_query(stream_df: DataFrame, root: str,
                             trigger_available_now: bool = True):
     """readStream -> foreachBatch(append_segment). Returns the (started)
     StreamingQuery; late/duplicate batch replay is idempotent at segment
-    granularity because a replayed batch overwrites its segment dir."""
+    granularity: a replayed batch overwrites its postings segment dir AND
+    its docs seg=N partition (dynamic partition overwrite above)."""
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return

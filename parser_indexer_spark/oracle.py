@@ -59,6 +59,10 @@ class OracleIndex:
     def search(self, query: str, k: int = 10, mode: str = "OR"):
         """-> list[(doc_id, score)] ordered by (score desc, doc_id asc)."""
         terms = sorted(set(tokenize_py(query)))
+        # AND with an absent term matches nothing (required-term semantics,
+        # same check as Index.search — evaluated before dropping df==0 terms)
+        if mode == "AND" and any(self.df.get(t, 0) == 0 for t in terms):
+            return []
         terms = [t for t in terms if self.df.get(t, 0) > 0]
         if not terms:
             return []

@@ -95,8 +95,13 @@ class Index:
         if not terms:
             return empty
         dfs = self.term_stats(terms)
+        # required-term semantics [public: Lucene BooleanQuery MUST]: an AND
+        # query containing a term absent from the index matches nothing —
+        # checked against the ORIGINAL term list, before dropping df==0 terms
+        if mode == "AND" and any(dfs[t] == 0 for t in terms):
+            return empty
         terms = [t for t in terms if dfs[t] > 0]
-        if not terms or (mode == "AND" and any(dfs[t] == 0 for t in terms)):
+        if not terms:
             return empty
         n_docs = self.stats["n_docs"]
         avg_dl = self.stats["avg_dl"]

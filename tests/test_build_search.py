@@ -104,7 +104,17 @@ QUERIES = [
     ("spark join", "AND"), ("hash agg", "AND"),
     ("spark w0042 filter", "OR"), ("window partition order", "AND"),
     ("SPARK, Join!", "OR"), ("join join join", "OR"), ("w0000 w0001", "OR"),
+    ("spark zzzunseen", "AND"),  # AND + absent term -> empty (ADVICE r1)
 ]
+
+
+def test_and_absent_term_empty(engine, oracle):
+    """Required-term semantics: AND containing an unknown term matches
+    nothing — it must NOT silently degrade to the known-terms query."""
+    assert engine.search("spark zzzunseen", k=10, mode="AND").count() == 0
+    assert oracle.search("spark zzzunseen", k=10, mode="AND") == []
+    # sanity: the same query in OR mode does match
+    assert engine.search("spark zzzunseen", k=10, mode="OR").count() > 0
 
 
 @pytest.mark.parametrize("q,mode", QUERIES)

@@ -47,6 +47,28 @@ def test_append_segments_equal_batch_build(spark, corpus, tmp_path):
         assert ra == rb
 
 
+def test_replayed_batch_docs_idempotent(spark, corpus, tmp_path):
+    """Crash between the docs write and the docs_marker update, then replay
+    the same batch: the doc store must not contain duplicates (dynamic
+    partition overwrite makes the seg=N docs write idempotent; ADVICE r1)."""
+    from parser_indexer_spark.manifest import IndexPaths, read_json, write_json
+
+    root = str(tmp_path / "replay")
+    s1, s2, _ = _slices(corpus)
+    append_segment(spark, root, spark.createDataFrame(s1), CFG)
+    marker_before = read_json(IndexPaths(root).docs_marker)
+    append_segment(spark, root, spark.createDataFrame(s2), CFG)
+    # simulate the crash: marker rolled back as if batch 2 never committed
+    write_json(IndexPaths(root).docs_marker, marker_before)
+    append_segment(spark, root, spark.createDataFrame(s2), CFG)  # replay
+
+    docs = read_docs(spark, root).select("conv_id", "turn_idx").toPandas()
+    assert len(docs) == len(s1) + len(s2)
+    assert not docs.duplicated().any()
+    ix = Index(spark, root)
+    assert ix.stats["n_docs"] == len(s1) + len(s2)
+
+
 def test_streaming_foreachbatch_index(spark, corpus, tmp_path):
     src = str(tmp_path / "stream_src")
     os.makedirs(src)
