@@ -18,8 +18,10 @@ Physical plan per segment (doc_id range slice):
          chunk-aligned blocks needing no re-merge
       -> repartition(P, term, _salt) + sortWithinPartitions(term, doc_id)
       -> mapInPandas block builder         (C3-C6: cut at <=block_size AND
-                                            chunk boundaries; delta + stream
-                                            varint; FOR available in codec)
+                                            chunk boundaries; delta + FOR
+                                            bit-packing by default, varint
+                                            retained — payloads are
+                                            codec-tagged, segments may mix)
       -> write partitionBy(bucket)         (A4: shard writer)
       -> per-segment manifest row          (C12-C13: metrics + lineage)
 
@@ -40,7 +42,7 @@ import pyspark.sql.functions as F
 from pyspark.storagelevel import StorageLevel
 
 from parser_indexer_spark.analyze import TOKENIZE_TF_SCHEMA, tokenize_tf_batches
-from parser_indexer_spark.codec import varint_encode_stream  # noqa: F401 (used in _encode_rows)
+from parser_indexer_spark.codec import for_encode_blocks, varint_encode_stream
 from parser_indexer_spark.config import EngineConfig
 from parser_indexer_spark.docids import assign_doc_ids
 from parser_indexer_spark.manifest import (
@@ -63,10 +65,11 @@ def term_bucket(term: str, n_buckets: int) -> int:
 def _encode_rows(terms: np.ndarray, d: np.ndarray, t: np.ndarray,
                  l: np.ndarray, cfg: EngineConfig) -> pd.DataFrame:
     """Vectorized block construction for a (term, doc_id)-sorted row range
-    containing only COMPLETE term runs. One varint_encode_stream call per
-    column for the whole range; per-block work is just byte slicing.
-    (A per-block numpy-encode variant measured ~55us/block — the stream
-    encode + slice is ~20x cheaper on tail terms.)"""
+    containing only COMPLETE term runs. Whole-range batch encode per column
+    (FOR: one bit-scatter pass per distinct width + one packbits; varint:
+    one stream encode), then per-block work is just byte slicing. (A
+    per-block numpy-encode variant measured ~55us/block — batch encode +
+    slice is ~20x cheaper on tail terms.)"""
 
 
     bs, cbits, nb = cfg.block_size, cfg.chunk_bits, cfg.n_buckets
@@ -97,13 +100,25 @@ def _encode_rows(terms: np.ndarray, d: np.ndarray, t: np.ndarray,
     if n and nonstart.any() and gaps[nonstart].min() <= 0:
         raise ValueError("doc_ids not strictly ascending within term run")
 
-    d_stream, d_nb = varint_encode_stream(gaps.astype(np.uint64))
-    t_stream, t_nb = varint_encode_stream(t.astype(np.uint64))
-    l_stream, l_nb = varint_encode_stream(l.astype(np.uint64))
-    d_off = np.concatenate(([0], np.cumsum(d_nb)))
-    t_off = np.concatenate(([0], np.cumsum(t_nb)))
-    l_off = np.concatenate(([0], np.cumsum(l_nb)))
-    d_mv, t_mv, l_mv = memoryview(d_stream), memoryview(t_stream), memoryview(l_stream)
+    if cfg.codec == "for":
+        docs_enc = for_encode_blocks(gaps.astype(np.uint64), bstarts, bends)
+        tfs_enc = for_encode_blocks(t.astype(np.uint64), bstarts, bends)
+        dls_enc = for_encode_blocks(l.astype(np.uint64), bstarts, bends)
+    else:
+        d_stream, d_nb = varint_encode_stream(gaps.astype(np.uint64))
+        t_stream, t_nb = varint_encode_stream(t.astype(np.uint64))
+        l_stream, l_nb = varint_encode_stream(l.astype(np.uint64))
+        d_off = np.concatenate(([0], np.cumsum(d_nb)))
+        t_off = np.concatenate(([0], np.cumsum(t_nb)))
+        l_off = np.concatenate(([0], np.cumsum(l_nb)))
+        d_mv, t_mv, l_mv = (memoryview(d_stream), memoryview(t_stream),
+                            memoryview(l_stream))
+        docs_enc = [b"V" + d_mv[d_off[s]:d_off[e]].tobytes()
+                    for s, e in zip(bstarts.tolist(), bends.tolist())]
+        tfs_enc = [b"V" + t_mv[t_off[s]:t_off[e]].tobytes()
+                   for s, e in zip(bstarts.tolist(), bends.tolist())]
+        dls_enc = [b"V" + l_mv[l_off[s]:l_off[e]].tobytes()
+                   for s, e in zip(bstarts.tolist(), bends.tolist())]
 
     max_tf = np.maximum.reduceat(t, bstarts)
     min_dl = np.minimum.reduceat(l, bstarts)
@@ -112,13 +127,6 @@ def _encode_rows(terms: np.ndarray, d: np.ndarray, t: np.ndarray,
     uniq = pd.unique(bterms)
     bmap = {u: term_bucket(u, nb) for u in uniq}
     buckets = pd.Series(bterms).map(bmap).to_numpy(dtype=np.int32)
-
-    docs_enc = [b"V" + d_mv[d_off[s]:d_off[e]].tobytes()
-                for s, e in zip(bstarts.tolist(), bends.tolist())]
-    tfs_enc = [b"V" + t_mv[t_off[s]:t_off[e]].tobytes()
-               for s, e in zip(bstarts.tolist(), bends.tolist())]
-    dls_enc = [b"V" + l_mv[l_off[s]:l_off[e]].tobytes()
-               for s, e in zip(bstarts.tolist(), bends.tolist())]
 
     return pd.DataFrame({
         "term": bterms,

@@ -89,6 +89,52 @@ def for_encode(vals: np.ndarray) -> bytes:
     return b"F" + bytes([width]) + np.packbits(bits.ravel()).tobytes()
 
 
+def _bit_widths(maxes: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length (min 1) of a uint64 array — binary reduction,
+    6 masked shifts, no per-element Python."""
+    v = np.ascontiguousarray(maxes, dtype=_U64).copy()
+    w = np.zeros(v.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= (_U64(1) << _U64(shift))
+        w[m] += shift
+        v[m] >>= _U64(shift)
+    return np.maximum(w + (v > 0), 1)
+
+
+def for_encode_blocks(vals: np.ndarray, bstarts: np.ndarray,
+                      bends: np.ndarray) -> list[bytes]:
+    """FOR bit-pack MANY blocks of one flat uint64 array in one shot;
+    returns per-block payloads wire-identical to ``for_encode`` (b'F' +
+    width byte + packbits stream). This is the build hot path: one bit
+    scatter per distinct width (<=64 vectorized passes, typically ~3) and a
+    single packbits over the whole batch, then byte slicing per block —
+    the FOR analogue of varint_encode_stream's encode-once-slice-many."""
+    v = np.ascontiguousarray(vals, dtype=_U64)
+    nblk = int(bstarts.size)
+    if nblk == 0:
+        return []
+    bstarts = np.ascontiguousarray(bstarts, dtype=np.int64)
+    lens = (np.ascontiguousarray(bends, dtype=np.int64) - bstarts)
+    widths = _bit_widths(np.maximum.reduceat(v, bstarts))
+    blk_bytes = (lens * widths + 7) // 8  # blocks start byte-aligned
+    byte_off = np.concatenate(([0], np.cumsum(blk_bytes)))
+    bitbuf = np.zeros(int(byte_off[-1]) * 8, dtype=np.uint8)
+    blk_of = np.repeat(np.arange(nblk), lens)
+    within = np.arange(v.size, dtype=np.int64) - np.repeat(bstarts, lens)
+    val_off = byte_off[blk_of] * 8 + within * widths[blk_of]
+    for w in np.unique(widths):
+        sel = widths[blk_of] == w
+        vv, off = v[sel], val_off[sel]
+        shifts = np.arange(w, dtype=_U64)
+        bits = ((vv[:, None] >> shifts[None, :]) & _U64(1)).astype(np.uint8)
+        pos = off[:, None] + np.arange(w, dtype=np.int64)[None, :]
+        bitbuf[pos.ravel()] = bits.ravel()
+    mv = memoryview(np.packbits(bitbuf).tobytes())
+    off_l = byte_off.tolist()
+    return [b"F" + bytes([int(widths[i])]) + mv[off_l[i]:off_l[i + 1]].tobytes()
+            for i in range(nblk)]
+
+
 def for_decode(buf: bytes, n: int) -> np.ndarray:
     if buf[:1] != b"F":
         raise ValueError(f"not a FOR payload: {buf[:1]!r}")

@@ -29,8 +29,10 @@ TOKEN_SPLIT_REGEX: str = r"[^\p{L}\p{M}\p{N}]+"  # RE2 syntax (pyarrow / DuckDB)
 #                                       and AND-intersection co-locates by a
 #                                       single shuffle on `chunk` (D4).
 # block  = <=block_size postings, delta-encoded doc gaps + tf + dl, each
-#          FOR-bit-packed (C3-C6).
-CODEC_VERSION: str = "delta-for-v1"
+#          FOR-bit-packed (C3-C6; varint kept for format evolution — every
+#          payload is tagged with its codec id byte, so segments of
+#          different codecs coexist in one index).
+CODECS = ("for", "varint")
 
 
 @dataclass(frozen=True)
@@ -46,8 +48,17 @@ class EngineConfig:
     k1: float = BM25_K1
     b: float = BM25_B
     analyzer_version: str = ANALYZER_VERSION
-    codec_version: str = CODEC_VERSION
+    codec: str = "for"             # live posting-block codec: "for"|"varint"
+    codec_version: str = ""        # derived from codec unless explicitly set
     extra: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.codec not in CODECS:
+            raise ValueError(f"unknown codec {self.codec!r}")
+        if not self.codec_version:
+            # honest lineage: the version string names the LIVE wire format
+            object.__setattr__(self, "codec_version",
+                               f"delta-{self.codec}-v1")
 
     @property
     def chunk_size(self) -> int:
@@ -64,6 +75,7 @@ class EngineConfig:
             "k1": self.k1,
             "b": self.b,
             "analyzer_version": self.analyzer_version,
+            "codec": self.codec,
             "codec_version": self.codec_version,
         }
 
@@ -72,5 +84,5 @@ class EngineConfig:
         known = {k: d[k] for k in (
             "n_buckets", "block_size", "chunk_bits", "build_partitions",
             "salt_df_threshold", "n_salts", "k1", "b",
-            "analyzer_version", "codec_version") if k in d}
+            "analyzer_version", "codec", "codec_version") if k in d}
         return cls(**known)

@@ -79,6 +79,32 @@ def test_generic_decode_dispatch():
         codec.decode(b"Xjunk", 1)
 
 
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=500),
+       st.integers(min_value=1, max_value=7))
+@settings(max_examples=200, deadline=None)
+def test_for_encode_blocks_equals_per_block(xs, nblocks):
+    """Batch multi-block FOR encoder is wire-identical to per-block
+    for_encode at arbitrary block boundaries."""
+    vals = np.array(xs, dtype=np.uint64)
+    cuts = np.unique(np.linspace(0, len(xs), nblocks + 1).astype(np.int64))
+    bstarts, bends = cuts[:-1], cuts[1:]
+    keep = bends > bstarts
+    bstarts, bends = bstarts[keep], bends[keep]
+    got = codec.for_encode_blocks(vals, bstarts, bends)
+    exp = [codec.for_encode(vals[s:e]) for s, e in zip(bstarts, bends)]
+    assert got == exp
+    for buf, s, e in zip(got, bstarts, bends):
+        np.testing.assert_array_equal(codec.for_decode(buf, int(e - s)),
+                                      vals[s:e])
+
+
+def test_bit_widths():
+    vals = np.array([0, 1, 2, 3, 127, 128, 2**40, 2**63 - 1], dtype=np.uint64)
+    exp = [max(1, int(v).bit_length()) for v in vals]
+    assert codec._bit_widths(vals).tolist() == exp
+
+
 def test_varint_truncated_raises():
     vals = np.array([300], dtype=np.uint64)
     buf = codec.varint_encode(vals)

@@ -35,3 +35,47 @@ def test_merge_preserves_logical_index(spark, tmp_path):
         ra = [(r.doc_id, r.score) for r in ia.search(q, k=10, mode=mode).collect()]
         rb = [(r.doc_id, r.score) for r in ib.search(q, k=10, mode=mode).collect()]
         assert ra == rb
+
+
+def test_mixed_codec_segments(spark, tmp_path):
+    """Per-payload codec tags let varint and FOR segments coexist in one
+    index; a merge re-encodes everything to the target codec and preserves
+    the logical index (old varint shards stay readable — VERDICT r1 #2)."""
+    from dataclasses import replace
+    from parser_indexer_spark.incremental import append_segment
+
+    cfg_v = replace(CFG, codec="varint", codec_version="")
+    cfg_f = replace(CFG, codec="for", codec_version="")
+    assert cfg_v.codec_version == "delta-varint-v1"
+    assert cfg_f.codec_version == "delta-for-v1"
+
+    corpus = synthesize_pandas(1200).sort_values(["conv_id", "turn_idx"])
+    half = len(corpus) // 2
+    mixed = str(tmp_path / "mixed")
+    build_index(spark, spark.createDataFrame(corpus.iloc[:half]), mixed, cfg_v)
+    append_segment(spark, mixed, spark.createDataFrame(corpus.iloc[half:]), cfg_f)
+    # both codec ids actually present on disk
+    tags = set()
+    post = read_postings(spark, mixed).select("docs_enc").collect()
+    for r in post:
+        tags.add(bytes(r["docs_enc"][:1]))
+    assert tags == {b"V", b"F"}
+
+    # reference: same corpus built in one shot, all-FOR
+    ref = str(tmp_path / "ref")
+    build_index(spark, spark.createDataFrame(corpus), ref, cfg_f)
+    assert _logical_index_hash(mixed) == _logical_index_hash(ref)
+    ia, ib = Index(spark, mixed), Index(spark, ref)
+    for q, mode in [("spark join", "OR"), ("hash agg", "AND")]:
+        ra = [(r.doc_id, r.score) for r in ia.search(q, k=10, mode=mode).collect()]
+        rb = [(r.doc_id, r.score) for r in ib.search(q, k=10, mode=mode).collect()]
+        assert ra == rb
+
+    # merge the mixed index -> single FOR segment, logically unchanged
+    merged = str(tmp_path / "merged")
+    m = merge_index(spark, mixed, merged, cfg=cfg_f)
+    assert m["n_segments"] == 1
+    assert _logical_index_hash(merged) == _logical_index_hash(ref)
+    mtags = {bytes(r["docs_enc"][:1]) for r in
+             read_postings(spark, merged).select("docs_enc").collect()}
+    assert mtags == {b"F"}
