@@ -73,6 +73,15 @@ def term_dict_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_dict(spark, ix.root).select("term", "df", "cf")
 
 
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline (parser_indexer_spark.multimodal):
+    byte-class histogram over the BINARY payload, computed by np.frombuffer
+    inside mapInPandas. Payloads are the documents' UTF-8 bytes (ASCII in
+    testdata), so DuckDB can verify byte classes as char classes."""
+    from parser_indexer_spark import multimodal as mm
+    return mm.media_byte_stats(mm.media_table(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return topk_bm25(spark, "/root/testdata/sf0.001")
@@ -105,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_explode_tf": relops.array_explode_tf,
         "json_extract": relops.json_extract,
         # training-data pipeline ops
+        "media_features": media_features,
         "dedup_exact": relops.dedup_exact,
         "minhash_signature": relops.minhash_signature,
         "ann_cosine": relops.ann_cosine,
@@ -242,6 +252,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) % 10 AS k_mod,
                    count(*) AS n
             FROM events GROUP BY 1""",
+        "media_features": """
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_bytes,
+                   CAST(length(text) - length(regexp_replace(text, '[a-m]', '', 'g')) AS INT) AS h_am,
+                   CAST(length(text) - length(regexp_replace(text, '[n-z]', '', 'g')) AS INT) AS h_nz,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS h_digit,
+                   CAST(length(regexp_replace(text, '[a-z0-9]', '', 'g')) AS INT) AS h_other
+            FROM documents""",
         "dedup_exact": """
             SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
             FROM documents GROUP BY 1""",
