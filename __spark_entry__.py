@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features,
         "dedup_exact": relops.dedup_exact,
         "minhash_signature": relops.minhash_signature,
+        "dedup_near_pairs": relops.dedup_near_pairs,
         "ann_cosine": relops.ann_cosine,
         "ann_cosine_lsh": relops.ann_cosine_lsh,
         "asof_join": relops.asof_join,
@@ -277,6 +278,46 @@ def oracle_sql() -> dict[str, str]:
                    min(md5('s2:' || shingle)) AS sig2,
                    min(md5('s3:' || shingle)) AS sig3
             FROM sh GROUP BY doc_id""",
+        "dedup_near_pairs": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+                    FROM tok WHERE len(toks) >= 3)
+            ),
+            sig AS (
+              SELECT doc_id,
+                     min(md5('s0:' || shingle)) AS sig0, min(md5('s1:' || shingle)) AS sig1,
+                     min(md5('s2:' || shingle)) AS sig2, min(md5('s3:' || shingle)) AS sig3,
+                     min(md5('s4:' || shingle)) AS sig4, min(md5('s5:' || shingle)) AS sig5,
+                     min(md5('s6:' || shingle)) AS sig6, min(md5('s7:' || shingle)) AS sig7
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bh FROM sig
+              UNION ALL SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sig
+              UNION ALL SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sig
+              UNION ALL SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sig
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            ),
+            sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT doc_a, doc_b, count(*) AS n_inter
+              FROM cand
+              JOIN sh sa ON sa.doc_id = doc_a
+              JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
+              GROUP BY doc_a, doc_b
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sz za ON za.doc_id = doc_a
+            JOIN sz zb ON zb.doc_id = doc_b
+            WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5""",
         "ann_cosine": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
                        WHERE vec_id = 0),
