@@ -153,6 +153,84 @@ def test_filter_role(spark, engine, oracle, corpus):
         assert g[1] == pytest.approx(e[1], rel=1e-6)
 
 
+def test_filter_broadcast_keeps_truncation(spark, engine, corpus):
+    """Selective filters ride INTO the scorer (broadcast sorted id set), so
+    the plan has no post-scoring semi-join and pruning stays on; results
+    equal the pruning-off run (WAND upper bounds remain valid under the
+    filter)."""
+    df = engine.search("spark join", k=10, doc_filter="role = 'assistant'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan  # broadcast path, not the fallback join
+    a = [(r.doc_id, r.score) for r in df.collect()]
+    b = [(r.doc_id, r.score) for r in
+         engine.search("spark join", k=10, doc_filter="role = 'assistant'",
+                       prune=False).collect()]
+    assert a == b and len(a) == 10
+
+
+def test_filter_fallback_path_identical(monkeypatch, engine):
+    """Huge filter sides fall back to the semi-join path; both paths must
+    return identical results."""
+    import parser_indexer_spark.search as searchmod
+    want = [(r.doc_id, r.score) for r in
+            engine.search("spark join", k=10,
+                          doc_filter="role = 'assistant'").collect()]
+    monkeypatch.setattr(searchmod, "FILTER_BROADCAST_LIMIT", 1)
+    df = engine.search("spark join", k=10, doc_filter="role = 'assistant'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # really took the fallback
+    got = [(r.doc_id, r.score) for r in df.collect()]
+    assert got == want
+
+
+def test_filter_empty_allowed_set(engine):
+    assert engine.search("spark join", k=10,
+                         doc_filter="role = 'nosuchrole'").count() == 0
+
+
+def test_scorer_streams_chunk_runs_with_carry():
+    """Unit-level: the streaming scorer consumes chunk runs off the batch
+    iterator with a carry; ragged batches that split chunks mid-run yield
+    bit-identical results to a single batch, pruned == exhaustive, and the
+    broadcast allowed-set filter applies pre-heap."""
+    import types
+    from parser_indexer_spark.build import _encode_rows
+    from parser_indexer_spark.search import _make_scorer, bm25_idf
+
+    cfg = EngineConfig(block_size=16, chunk_bits=5, n_buckets=4)
+    da = np.arange(300, dtype=np.int64)
+    db = np.arange(0, 300, 2, dtype=np.int64)
+    rows_a = _encode_rows(np.array(["a"] * 300, object), da,
+                          1 + (da % 3), np.full(300, 10, np.int64), cfg)
+    rows_b = _encode_rows(np.array(["b"] * 150, object), db,
+                          np.full(150, 2, np.int64),
+                          np.full(150, 10, np.int64), cfg)
+    blocks = (pd.concat([rows_a, rows_b], ignore_index=True)
+              .sort_values(["chunk", "term"], kind="stable")
+              .reset_index(drop=True))
+    idf = {"a": bm25_idf(300, 300), "b": bm25_idf(300, 150)}
+
+    def run(batches, prune=True, truncate=True, allowed=None):
+        bc = types.SimpleNamespace(value=allowed) if allowed is not None else None
+        sc = _make_scorer(terms=["a", "b"], idf=idf, k1=1.2, b=0.75,
+                          avg_dl=10.0, k=10, mode="OR", prune=prune,
+                          truncate=truncate, chunk_bits=5, allowed_bc=bc)
+        out = pd.concat(list(sc(iter(batches))), ignore_index=True)
+        return sorted(zip(out["doc_id"], out["score"]),
+                      key=lambda x: (-x[1], x[0]))[:10 if truncate else None]
+
+    whole = run([blocks])
+    cuts = [0, 3, 4, 9, 15, 16, 21, len(blocks)]  # ragged, splits chunks
+    split = [blocks.iloc[a:b] for a, b in zip(cuts, cuts[1:])]
+    assert run(split) == whole
+    assert run(split, prune=False) == whole  # BMW lossless while streaming
+    # allowed-set filter pre-heap == post-hoc filter of exhaustive scores
+    odd = np.arange(1, 300, 2, dtype=np.int64)
+    exhaustive = run([blocks], prune=False, truncate=False)
+    expect = [x for x in exhaustive if x[0] % 2 == 1][:10]
+    assert run(split, allowed=odd) == expect
+
+
 def test_fetch_stored_fields(engine, corpus):
     top = engine.search("spark join", k=5)
     rows = engine.fetch(top).collect()
