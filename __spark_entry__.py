@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": relops.window_rank,
         "window_lag_frame": relops.window_lag_frame,
         "topk_orders": relops.topk_orders,
+        "topk_orders_page2": relops.topk_orders_page2,
+        "facet_percentile": relops.facet_percentile,
         "setop_union": relops.setop_union,
         "setop_except": relops.setop_except,
         "str_tokens": relops.str_tokens,
@@ -125,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": relops.token_stats,
         "lang_guess": relops.lang_guess,
         "simhash8": relops.simhash8,
+        "simhash64": relops.simhash64,
     }
 
 
@@ -163,6 +166,27 @@ scored AS (
 SELECT doc_id, round(score, 4) AS score
 FROM scored ORDER BY scored.score DESC, doc_id LIMIT {k}
 """
+
+
+def _simhash64_sql() -> str:
+    """Generated DuckDB mirror of relops.simhash64_df (4x16-bit bands)."""
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(md5(term),{pos},1)) - 1)"
+
+    hv = ", ".join(
+        " + ".join(f"{nib(4 * j + c + 1)} * {16 ** (3 - c)}" for c in range(4))
+        + f" AS hv{j}" for j in range(4))
+    sums = ", ".join(f"sum((hv{j} // {2 ** i}) % 2) AS b{j}_{i}"
+                     for j in range(4) for i in range(16))
+    sigs = ", ".join(
+        "CAST(" + " + ".join(f"(CASE WHEN b{j}_{i}*2 > n THEN {2 ** i} ELSE 0 END)"
+                             for i in range(16)) + f" AS INT) AS sh{j}"
+        for j in range(4))
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+        hv AS (SELECT doc_id, {hv} FROM tok),
+        g AS (SELECT doc_id, count(*) AS n, {sums} FROM hv GROUP BY doc_id)
+        SELECT doc_id, {sigs} FROM g"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -230,6 +254,23 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+        "topk_orders_page2": """
+            WITH p1 AS (
+              SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+            ),
+            cursor AS (
+              SELECT o_totalprice AS lp, o_orderkey AS lk FROM p1
+              ORDER BY o_totalprice ASC, o_orderkey DESC LIMIT 1
+            )
+            SELECT o_orderkey, o_totalprice FROM orders, cursor
+            WHERE o_totalprice < lp OR (o_totalprice = lp AND o_orderkey > lk)
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+        "facet_percentile": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90
+            FROM events GROUP BY event_type""",
         "setop_union": """
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             UNION
@@ -419,4 +460,5 @@ def oracle_sql() -> dict[str, str]:
                  + (CASE WHEN b6*2 > n THEN 64  ELSE 0 END)
                  + (CASE WHEN b7*2 > n THEN 128 ELSE 0 END) AS INT) AS simhash8
             FROM g""",
+        "simhash64": _simhash64_sql(),
     }

@@ -137,6 +137,33 @@ def topk_orders(spark, sf_dir):
             .select("o_orderkey", "o_totalprice").limit(20))
 
 
+def topk_orders_page2(spark, sf_dir):
+    """D11 deep pagination (Solr cursorMark analogue): keyset paging — page
+    2 is WHERE (sortkey, id) strictly after page 1's last row, then sort +
+    limit again. No OFFSET scan: the predicate pushes to the scan, so page
+    N costs the same as page 1 at any depth (the whole point at 100 TB).
+    The cursor round-trips through the client exactly like cursorMark."""
+    o = T(spark, sf_dir, "orders")
+    p1 = (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+           .select("o_orderkey", "o_totalprice").limit(20).collect())
+    lp, lk = p1[-1]["o_totalprice"], p1[-1]["o_orderkey"]
+    after = (F.col("o_totalprice") < lp) | (
+        (F.col("o_totalprice") == lp) & (F.col("o_orderkey") > lk))
+    return (o.where(after)
+             .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+             .select("o_orderkey", "o_totalprice").limit(20))
+
+
+def facet_percentile(spark, sf_dir):
+    """Solr JSON-facet percentile analogue (D10): exact interpolated
+    percentiles per facet bucket — Spark F.percentile == ANSI
+    percentile_cont == DuckDB quantile_cont."""
+    e = T(spark, sf_dir, "events")
+    return (e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90")))
+
+
 def setop_union(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
@@ -389,6 +416,59 @@ def simhash8(spark, sf_dir):
     sig = sum([(F.when(F.col(f"b{i}") * 2 > F.col("n"), 2 ** i).otherwise(0))
                for i in range(8)], F.lit(0))
     return g.select("doc_id", sig.cast("int").alias("simhash8"))
+
+
+def simhash64_df(d: DataFrame) -> DataFrame:
+    """64-bit SimHash as four 16-bit bands (sh0..sh3): bit i of band j =
+    majority over tokens of bit i of md5(token) hex nibbles [4j, 4j+4).
+    Band representation doubles as the Hamming-ball LSH probe table:
+    near-identical docs agree on most bits, so at least one 16-bit band
+    collides with high probability (probed by simhash_band_candidates).
+    64-bit upgrade of simhash8 (VERDICT r1 #9); md5 keeps DuckDB agreeing."""
+    tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                      lambda x: x != "")
+    e = d.select("doc_id", F.explode(tokens).alias("term"))
+    hvs = [F.conv(F.substring(F.md5(F.col("term")), 4 * j + 1, 4), 16, 10)
+            .cast("int").alias(f"hv{j}") for j in range(4)]
+    e = e.select("doc_id", *hvs)
+    aggs = [F.count("*").alias("n")]
+    for j in range(4):
+        for i in range(16):
+            aggs.append(F.sum((F.col(f"hv{j}") / (2 ** i)).cast("int") % 2)
+                        .alias(f"b{j}_{i}"))
+    g = e.groupBy("doc_id").agg(*aggs)
+    sigs = []
+    for j in range(4):
+        sig = sum([(F.when(F.col(f"b{j}_{i}") * 2 > F.col("n"),
+                           2 ** i).otherwise(0)) for i in range(16)],
+                  F.lit(0))
+        sigs.append(sig.cast("int").alias(f"sh{j}"))
+    return g.select("doc_id", *sigs)
+
+
+def simhash64(spark, sf_dir):
+    return simhash64_df(T(spark, sf_dir, "documents"))
+
+
+def simhash_band_candidates(d: DataFrame) -> DataFrame:
+    """Hamming-ball probing via band equality: candidate near-dup pairs are
+    docs sharing ANY of the four 16-bit simhash bands — four equi-joins
+    (bucketed, never all-pairs), unioned and deduped. Pairs then go to an
+    exact verifier (near_dup_pairs' Jaccard stage or Hamming distance)."""
+    s = simhash64_df(d)
+    parts = []
+    for j in range(4):
+        a = s.select(F.col("doc_id").alias("doc_a"),
+                     F.col(f"sh{j}").alias("band_val"))
+        b = s.select(F.col("doc_id").alias("doc_b"),
+                     F.col(f"sh{j}").alias("band_val"))
+        parts.append(a.join(b, "band_val")
+                      .where(F.col("doc_a") < F.col("doc_b"))
+                      .select("doc_a", "doc_b"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.distinct()
 
 
 def ann_cosine_lsh(spark, sf_dir):
