@@ -28,10 +28,16 @@ _FLAGSHIP_QUERY = "spark join"
 _FLAGSHIP_K = 10
 
 
-def _documents_index(spark: SparkSession, sf_dir: str) -> Index:
-    """Build (once per sf_dir) the inverted index over testdata documents;
-    reuses the committed index on subsequent calls (C12 resume semantics)."""
-    key = sf_dir.strip("/").replace("/", "_")
+_STOP_LIST = ("data", "fast", "the")  # topk_bm25_stop analyzer option
+
+
+def _documents_index(spark: SparkSession, sf_dir: str,
+                     variant: str = "default") -> Index:
+    """Build (once per (sf_dir, variant)) the inverted index over testdata
+    documents; reuses the committed index on later calls (C12 resume).
+    variant='stop' uses the opt-in stopword analyzer (persisted in the
+    manifest with a bumped analyzer_version)."""
+    key = sf_dir.strip("/").replace("/", "_") + "_" + variant
     out = os.path.join(_INDEX_CACHE_ROOT, key)
     try:
         return Index(spark, out)
@@ -40,7 +46,8 @@ def _documents_index(spark: SparkSession, sf_dir: str) -> Index:
     shutil.rmtree(out, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cfg = EngineConfig(n_buckets=8, build_partitions=16,
-                       salt_df_threshold=100_000, n_salts=4, chunk_bits=12)
+                       salt_df_threshold=100_000, n_salts=4, chunk_bits=12,
+                       stopwords=_STOP_LIST if variant == "stop" else ())
     build_index(spark, docs, out, cfg, segments=1, doc_id_col="doc_id",
                 input_desc=f"{sf_dir}/documents.parquet")
     return Index(spark, out)
@@ -63,6 +70,16 @@ def topk_bm25_and_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     [public: Lucene BooleanQuery MUST]; ADVICE r1)."""
     ix = _documents_index(spark, sf_dir)
     top = ix.search("hash agg zzzabsentterm", k=_FLAGSHIP_K, mode="AND")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def topk_bm25_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-analyzer index (Solr StopFilter analogue): 'the'/'data'/
+    'fast' are dropped at index AND query time, changing dl/avgdl and
+    hence every score — verified against a DuckDB oracle tokenizing with
+    the same stop list."""
+    ix = _documents_index(spark, sf_dir, variant="stop")
+    top = ix.search("the fast spark join", k=_FLAGSHIP_K, mode="OR")
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -93,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_bm25": topk_bm25,
         "topk_bm25_and": topk_bm25_and,
         "topk_bm25_and_absent": topk_bm25_and_absent,
+        "topk_bm25_stop": topk_bm25_stop,
         "term_dict_stats": term_dict_stats,
         # relational coverage (SURVEY.md §2.E)
         "project_filter": relops.project_filter,
@@ -135,13 +153,19 @@ _TOK = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
         "x -> x <> '')")
 
 
-def _bm25_sql(terms_sql: str, mode: str, k: int) -> str:
-    """DuckDB BM25 over documents: same formula, exact dl, k1=1.2 b=0.75."""
+def _bm25_sql(terms_sql: str, mode: str, k: int, stop: tuple = ()) -> str:
+    """DuckDB BM25 over documents: same formula, exact dl, k1=1.2 b=0.75.
+    ``stop``: analyzer stopword list (applied to the corpus tokenization,
+    mirroring the engine's index-time StopFilter)."""
     having = "" if mode == "OR" else \
         f"HAVING count(*) = (SELECT count(*) FROM qterms)"
+    tok_expr = _TOK
+    if stop:
+        inlist = ", ".join(f"'{w}'" for w in stop)
+        tok_expr = f"list_filter({_TOK}, x -> x NOT IN ({inlist}))"
     return f"""
 WITH tok AS (
-  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+  SELECT doc_id, unnest({tok_expr}) AS term FROM documents
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
 st AS (
@@ -195,6 +219,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_and": _bm25_sql("'agg', 'hash', 'scan'", "AND", _FLAGSHIP_K),
         "topk_bm25_and_absent": _bm25_sql(
             "'agg', 'hash', 'zzzabsentterm'", "AND", _FLAGSHIP_K),
+        "topk_bm25_stop": _bm25_sql("'join', 'spark'", "OR", _FLAGSHIP_K,
+                                    stop=_STOP_LIST),
         "term_dict_stats": f"""
             SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM (
               SELECT doc_id, term, count(*) AS tf

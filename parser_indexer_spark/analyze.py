@@ -53,15 +53,20 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     return pd.Series(la.to_pandas().to_numpy(), index=texts.index)
 
 
-def _flatten(toks: pa.ListArray):
+def _flatten(toks: pa.ListArray, stopwords: tuple = ()):
     """ListArray -> (flat token StringArray w/o empties, parent row indices
-    int64 ndarray, per-row token counts int64 ndarray)."""
+    int64 ndarray, per-row token counts int64 ndarray). Optional stopword
+    removal (C1 analyzer option, Solr StopFilter analogue) stays on the
+    Arrow kernel path: one is_in per batch."""
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     lengths = pc.list_value_length(toks)
     lengths = pc.fill_null(lengths, 0).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(toks)  # drops null rows' contribution
     parents = np.repeat(np.arange(len(toks), dtype=np.int64), lengths)
     keep = pc.fill_null(pc.not_equal(flat, ""), False)
+    if stopwords:
+        keep = pc.and_(keep, pc.invert(
+            pc.is_in(flat, value_set=pa.array(list(stopwords), pa.string()))))
     keep_np = keep.to_numpy(zero_copy_only=False).astype(bool)
     flat = flat.filter(keep)
     parents = parents[keep_np]
@@ -69,37 +74,44 @@ def _flatten(toks: pa.ListArray):
     return flat, parents, counts
 
 
-def tokenize_tf_batches(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    """mapInPandas stage: (doc_id:int64, text:str) -> (doc_id, term, tf, dl).
+def make_tokenize_tf(stopwords: tuple = ()):
+    """Factory for the fused C1+C2 mapInPandas stage with an optional
+    per-index stopword list (persisted in the manifest; analyzer_version is
+    bumped by EngineConfig when set)."""
 
-    Fused C1+C2: tokenlize, then collapse to per-(doc, term) tf BEFORE the
-    term shuffle so the shuffle carries tf-rows, not token occurrences
-    (SURVEY.md §2 C2). dl rides along on every tf row (int32) so query-time
-    BM25 needs no norms join (SURVEY.md §2 C8 deviation: exact dl).
-    Vectorized: Arrow kernels + pandas C groupby; no per-row Python.
-    """
-    for pdf in batches:
-        if pdf.empty:
-            continue
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        arr = pa.array(pdf["text"], type=pa.string())
-        flat, parents, counts = _flatten(tokenize_arrow(arr))
-        if len(flat) == 0:
-            continue
-        g = pd.DataFrame({
-            "doc_id": doc_ids[parents],
-            "term": flat.to_pandas(),
-            "dl": counts[parents].astype(np.int32),
-        })
-        tf = (
-            g.groupby(["doc_id", "term"], sort=False)
-            .agg(tf=("term", "size"), dl=("dl", "first"))
-            .reset_index()
-        )
-        tf["tf"] = tf["tf"].astype(np.int32)
-        yield tf[["doc_id", "term", "tf", "dl"]]
+    def tokenize_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            arr = pa.array(pdf["text"], type=pa.string())
+            flat, parents, counts = _flatten(tokenize_arrow(arr), stopwords)
+            if len(flat) == 0:
+                continue
+            g = pd.DataFrame({
+                "doc_id": doc_ids[parents],
+                "term": flat.to_pandas(),
+                "dl": counts[parents].astype(np.int32),
+            })
+            tf = (
+                g.groupby(["doc_id", "term"], sort=False)
+                .agg(tf=("term", "size"), dl=("dl", "first"))
+                .reset_index()
+            )
+            tf["tf"] = tf["tf"].astype(np.int32)
+            yield tf[["doc_id", "term", "tf", "dl"]]
+
+    return tokenize_tf
+
+
+# default stage (no stopwords) — the frozen v1 analyzer
+# mapInPandas stage: (doc_id:int64, text:str) -> (doc_id, term, tf, dl).
+# Fused C1+C2: tokenize, then collapse to per-(doc, term) tf BEFORE the
+# term shuffle so the shuffle carries tf-rows, not token occurrences
+# (SURVEY.md §2 C2). dl rides along on every tf row (int32) so query-time
+# BM25 needs no norms join (SURVEY.md §2 C8 deviation: exact dl).
+# Vectorized: Arrow kernels + pandas C groupby; no per-row Python.
+tokenize_tf_batches = make_tokenize_tf()
 
 
 TOKENIZE_TF_SCHEMA = "doc_id long, term string, tf int, dl int"
@@ -107,9 +119,10 @@ TOKENIZE_TF_SCHEMA = "doc_id long, term string, tf int, dl int"
 
 # ----------------------------------------------------------- Python oracle ---
 
-def tokenize_py(text: str) -> List[str]:
+def tokenize_py(text: str, stopwords: tuple = ()) -> List[str]:
     """Single-node oracle tokenizer; must agree with tokenize_arrow exactly.
-    Per-char category scan == runs of [\\p{L}\\p{M}\\p{N}]."""
+    Per-char category scan == runs of [\\p{L}\\p{M}\\p{N}]; optional
+    stopword removal mirrors make_tokenize_tf's is_in filter."""
     if text is None:
         return []
     s = unicodedata.normalize("NFKD", text).lower()
@@ -123,4 +136,7 @@ def tokenize_py(text: str) -> List[str]:
             cur = []
     if cur:
         out.append("".join(cur))
+    if stopwords:
+        stop = set(stopwords)
+        out = [t for t in out if t not in stop]
     return out

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 from pyspark.storagelevel import StorageLevel
 
-from parser_indexer_spark.analyze import TOKENIZE_TF_SCHEMA, tokenize_tf_batches
+from parser_indexer_spark.analyze import TOKENIZE_TF_SCHEMA, make_tokenize_tf
 from parser_indexer_spark.codec import for_encode_blocks, varint_encode_stream
 from parser_indexer_spark.config import EngineConfig
 from parser_indexer_spark.docids import assign_doc_ids
@@ -396,7 +396,8 @@ def _build_segment(spark: SparkSession, p: IndexPaths, seg: int,
                 .select("doc_id", "text"))
     if docs_seg.rdd.getNumPartitions() < cfg.build_partitions:
         docs_seg = docs_seg.repartition(cfg.build_partitions)
-    tf = docs_seg.mapInPandas(tokenize_tf_batches, TOKENIZE_TF_SCHEMA)
+    tf = docs_seg.mapInPandas(make_tokenize_tf(cfg.stopwords),
+                              TOKENIZE_TF_SCHEMA)
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # salt doc-range bounds from phase-A metadata (no extra scan);

@@ -47,7 +47,8 @@ class EngineConfig:
     n_salts: int = 8               # doc-range salt fan-out for head terms
     k1: float = BM25_K1
     b: float = BM25_B
-    analyzer_version: str = ANALYZER_VERSION
+    analyzer_version: str = ""     # derived from stopwords unless set
+    stopwords: tuple = ()          # opt-in StopFilter analogue (C1 option)
     codec: str = "for"             # live posting-block codec: "for"|"varint"
     codec_version: str = ""        # derived from codec unless explicitly set
     extra: dict = field(default_factory=dict)
@@ -59,6 +60,16 @@ class EngineConfig:
             # honest lineage: the version string names the LIVE wire format
             object.__setattr__(self, "codec_version",
                                f"delta-{self.codec}-v1")
+        object.__setattr__(self, "stopwords",
+                           tuple(sorted(set(self.stopwords))))
+        if not self.analyzer_version:
+            # analyzer lineage bumps when a stopword list is active; the
+            # list itself is persisted so old indexes validate under their
+            # recorded analyzer (SURVEY.md §2 C1 option)
+            av = ANALYZER_VERSION
+            if self.stopwords:
+                av += f"+stop{len(self.stopwords)}"
+            object.__setattr__(self, "analyzer_version", av)
 
     @property
     def chunk_size(self) -> int:
@@ -75,6 +86,7 @@ class EngineConfig:
             "k1": self.k1,
             "b": self.b,
             "analyzer_version": self.analyzer_version,
+            "stopwords": list(self.stopwords),
             "codec": self.codec,
             "codec_version": self.codec_version,
         }
@@ -85,4 +97,6 @@ class EngineConfig:
             "n_buckets", "block_size", "chunk_bits", "build_partitions",
             "salt_df_threshold", "n_salts", "k1", "b",
             "analyzer_version", "codec", "codec_version") if k in d}
+        if "stopwords" in d:
+            known["stopwords"] = tuple(d["stopwords"])
         return cls(**known)

@@ -20,7 +20,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from parser_indexer_spark.analyze import TOKENIZE_TF_SCHEMA, tokenize_tf_batches
+from parser_indexer_spark.analyze import TOKENIZE_TF_SCHEMA, make_tokenize_tf
 from parser_indexer_spark.build import (
     build_index, finalize_index, invert_and_write_segment,
     write_segment_manifest,
@@ -63,7 +63,8 @@ def append_segment(spark: SparkSession, root: str, batch: DataFrame,
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("seg").parquet(p.docs))
         tf = ids.select("doc_id", "text") \
-                .mapInPandas(tokenize_tf_batches, TOKENIZE_TF_SCHEMA)
+                .mapInPandas(make_tokenize_tf(cfg.stopwords),
+                             TOKENIZE_TF_SCHEMA)
         n_hot = invert_and_write_segment(spark, p, seg, cfg, tf,
                                          (base, int(max_id)))
         write_segment_manifest(spark, p, seg, cfg, n_hot, t0)

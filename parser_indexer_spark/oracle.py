@@ -27,10 +27,12 @@ from parser_indexer_spark.config import BM25_B, BM25_K1
 
 class OracleIndex:
     def __init__(self, doc_ids: Iterable[int], texts: Iterable[str],
-                 k1: float = BM25_K1, b: float = BM25_B):
+                 k1: float = BM25_K1, b: float = BM25_B,
+                 stopwords: tuple = ()):
         self.k1, self.b = k1, b
+        self.stopwords = tuple(stopwords)
         self.doc_ids = list(doc_ids)
-        toks = [tokenize_py(t) for t in texts]
+        toks = [tokenize_py(t, self.stopwords) for t in texts]
         self.n_docs = len(self.doc_ids)
         self.dl = {d: len(tk) for d, tk in zip(self.doc_ids, toks)}
         self.sum_dl = sum(self.dl.values())
@@ -58,7 +60,7 @@ class OracleIndex:
 
     def search(self, query: str, k: int = 10, mode: str = "OR"):
         """-> list[(doc_id, score)] ordered by (score desc, doc_id asc)."""
-        terms = sorted(set(tokenize_py(query)))
+        terms = sorted(set(tokenize_py(query, self.stopwords)))
         # AND with an absent term matches nothing (required-term semantics,
         # same check as Index.search — evaluated before dropping df==0 terms)
         if mode == "AND" and any(self.df.get(t, 0) == 0 for t in terms):

@@ -91,15 +91,22 @@ class Index:
     # ----------------------------------------------------------- search ---
     def search(self, query: str, k: int = 10, mode: str = "OR",
                doc_filter: Optional[str] = None, prune: bool = True,
-               score_partitions: Optional[int] = None) -> DataFrame:
+               score_partitions: Optional[int] = None,
+               after: Optional[tuple] = None) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id long, score double), ordered
         by (score desc, doc_id asc), <= k rows.
 
         doc_filter: SQL boolean expression over the docs table's attribute
         columns (conv_id, turn_idx, role, tool, ts) — Solr fq semantics (D9):
         restricts candidates, does not change scores.
+
+        after: (score, doc_id) cursor for deep paging (Solr cursorMark
+        analogue, D11): returns the top-k strictly after that position in
+        (score desc, doc_id asc) order. Applied pre-heap in the scorer, so
+        page N keeps full truncation + WAND pruning. Scores are
+        deterministic float64, so the cursor round-trips exactly.
         """
-        terms = sorted(set(tokenize_py(query)))
+        terms = sorted(set(tokenize_py(query, self.cfg.stopwords)))
         spark = self.spark
         empty = spark.createDataFrame([], "doc_id long, score double")
         if not terms:
@@ -153,7 +160,7 @@ class Index:
             terms=terms, idf=idf, k1=self.cfg.k1, b=self.cfg.b,
             avg_dl=avg_dl, k=k, mode=mode, prune=prune and truncate,
             truncate=truncate, chunk_bits=self.cfg.chunk_bits,
-            allowed_bc=allowed_bc,
+            allowed_bc=allowed_bc, after=after,
         )
         cand = (
             blocks.repartition(np_parts, "chunk")
@@ -176,7 +183,7 @@ class Index:
         """D13 highlighting: top-k + a snippet around the first matching
         term occurrence, <mark>-tagged. Pandas UDF over the k fetched rows
         only (never the corpus) [public: Solr highlighter analogue]."""
-        terms = sorted(set(tokenize_py(query)))
+        terms = sorted(set(tokenize_py(query, self.cfg.stopwords)))
         hits = self.fetch(self.search(query, k=k, mode=mode, **kw))
 
         @F.pandas_udf("string")
@@ -199,7 +206,7 @@ class Index:
 
 
 def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
-                 chunk_bits, allowed_bc=None):
+                 chunk_bits, allowed_bc=None, after=None):
     """Build the mapInPandas scoring function. Input arrives chunk-sorted
     within the partition (sortWithinPartitions upstream); the scorer STREAMS
     complete chunk runs off the Arrow batch iterator with a carry for the
@@ -299,6 +306,15 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
                 pos = np.searchsorted(all_docs, d)
                 total[pos] += idf_arr[t] * tf_norm(tf, dl)
             docs_out, scores_out = all_docs, total
+
+        if after is not None:
+            # keyset cursor (D11): keep docs strictly after (score desc,
+            # doc_id asc) position — pre-heap, so truncation + WAND hold
+            a_s, a_d = float(after[0]), int(after[1])
+            keep = (scores_out < a_s) | ((scores_out == a_s) & (docs_out > a_d))
+            docs_out, scores_out = docs_out[keep], scores_out[keep]
+            if docs_out.size == 0:
+                return heap_docs, heap_scores
 
         if not truncate:
             heap_docs.append(docs_out)

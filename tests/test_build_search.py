@@ -231,6 +231,61 @@ def test_scorer_streams_chunk_runs_with_carry():
     assert run(split, allowed=odd) == expect
 
 
+def test_search_after_deep_paging(engine):
+    """D11 cursorMark analogue on the BM25 path: page1 + page2-via-cursor
+    == one k=20 search; the cursor round-trips exactly (deterministic
+    float64 scores), and pruning stays lossless under the cursor."""
+    full = [(r.doc_id, r.score) for r in engine.search("spark join", k=20).collect()]
+    p1 = full[:10]
+    cursor = (p1[-1][1], p1[-1][0])  # (score, doc_id) of page 1's last hit
+    p2 = [(r.doc_id, r.score) for r in
+          engine.search("spark join", k=10, after=cursor).collect()]
+    assert p1 + p2 == full
+    p2_noprune = [(r.doc_id, r.score) for r in
+                  engine.search("spark join", k=10, after=cursor,
+                                prune=False).collect()]
+    assert p2 == p2_noprune
+    # paging composes with filters
+    f1 = [(r.doc_id, r.score) for r in
+          engine.search("spark join", k=20, doc_filter="role = 'user'").collect()]
+    fc = (f1[9][1], f1[9][0])
+    f2 = [(r.doc_id, r.score) for r in
+          engine.search("spark join", k=10, doc_filter="role = 'user'",
+                        after=fc).collect()]
+    assert f1[:10] + f2 == f1
+
+
+def test_stopword_index_end_to_end(spark, corpus, tmp_path):
+    """Opt-in stopword analyzer: build with a stop list, manifest records
+    the bumped analyzer_version + the list, queries match an OracleIndex
+    using the same list, stopword-only queries match nothing, and the
+    stored text stays byte-identical (B1 invariant is analyzer-independent)."""
+    from dataclasses import replace
+    from conftest import T_TINY_CFG
+    stop = ("spark", "the")
+    cfg = replace(T_TINY_CFG, stopwords=stop, analyzer_version="")
+    assert cfg.analyzer_version.endswith("+stop2")
+    out = str(tmp_path / "stopidx")
+    build_index(spark, spark.createDataFrame(corpus), out, cfg, segments=1)
+    ix = Index(spark, out)
+    assert tuple(ix.cfg.stopwords) == ("spark", "the")
+    assert ix.manifest["config"]["analyzer_version"].endswith("+stop2")
+    orc = OracleIndex(range(len(corpus)), corpus["text"].tolist(),
+                      stopwords=stop)
+    for q, mode in [("spark join", "OR"), ("join filter", "OR"),
+                    ("hash agg", "AND")]:
+        got = [(r.doc_id, r.score) for r in ix.search(q, k=10, mode=mode).collect()]
+        exp = orc.search(q, k=10, mode=mode)
+        assert [g[0] for g in got] == [e[0] for e in exp]
+        for g, e in zip(got, exp):
+            assert g[1] == pytest.approx(e[1], rel=1e-6)
+    assert ix.search("spark", k=10).count() == 0  # stopword matches nothing
+    docs = (read_docs(spark, out).orderBy("conv_id", "turn_idx")
+            .select("conv_id", "turn_idx", "text").toPandas())
+    pd.testing.assert_frame_equal(
+        docs, corpus[["conv_id", "turn_idx", "text"]].reset_index(drop=True))
+
+
 def test_fetch_stored_fields(engine, corpus):
     top = engine.search("spark join", k=5)
     rows = engine.fetch(top).collect()
