@@ -45,9 +45,7 @@ from parser_indexer_spark.analyze import TOKENIZE_TF_SCHEMA, make_tokenize_tf
 from parser_indexer_spark.codec import for_encode_blocks, varint_encode_stream
 from parser_indexer_spark.config import EngineConfig
 from parser_indexer_spark.docids import assign_doc_ids
-from parser_indexer_spark.manifest import (
-    IndexPaths, completed_segments, now, read_json, write_json,
-)
+from parser_indexer_spark.manifest import CATALOG, IndexPaths, now
 
 POSTINGS_SCHEMA = (
     "term string, bucket int, chunk long, first_doc_id long, "
@@ -216,9 +214,8 @@ def build_index(
         transcripts = transcripts.repartition(cfg.build_partitions)
 
     # ---- phase A: doc store (stored fields) + dense doc_ids -------------
-    import os
-    if resume and os.path.exists(p.docs_marker):
-        docs_meta = read_json(p.docs_marker)
+    if resume and CATALOG.meta_exists(p.docs_marker):
+        docs_meta = CATALOG.read_meta(p.docs_marker)
         n_docs = docs_meta["n_docs"]
     else:
         if doc_id_col is not None:
@@ -241,8 +238,8 @@ def build_index(
         seg_expr = F.least(F.lit(segments - 1),
                            (F.col("doc_id") * segments / F.lit(max(1, max_id + 1)))
                            .cast("long"))
-        (ids.withColumn("seg", seg_expr)
-            .write.mode("overwrite").partitionBy("seg").parquet(p.docs))
+        CATALOG.write_table(ids.withColumn("seg", seg_expr), p.docs,
+                            partition_by="seg")
         ids.unpersist()
         docs_meta = {
             "n_docs": n_docs,
@@ -252,12 +249,12 @@ def build_index(
             "analyzer_version": cfg.analyzer_version,
             "wall_sec": now() - t0,
         }
-        write_json(p.docs_marker, docs_meta)
+        CATALOG.write_meta(p.docs_marker, docs_meta)
 
     seg_count = docs_meta["segments"]
 
     # ---- phase B: per-segment inverted-index build (resumable) ----------
-    done = set(completed_segments(out_dir)) if resume else set()
+    done = set(CATALOG.completed_segments(out_dir)) if resume else set()
     built_this_run = 0
     for seg in range(seg_count):
         if seg in done:
@@ -279,15 +276,17 @@ def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
     """Phase C (C7/C9/C12): dict + stats from the committed segments, then
     the manifest written LAST = the atomic snapshot commit."""
     p = IndexPaths(out_dir)
-    seg_rows = [read_json(p.segment_manifest(s)) for s in range(seg_count)]
+    seg_rows = [CATALOG.read_meta(p.segment_manifest(s))
+                for s in range(seg_count)]
     post = read_postings(spark, out_dir, segs=list(range(seg_count)))
-    (post.groupBy("term")
-         .agg(F.sum("num_docs").alias("df"), F.sum("sum_tf").alias("cf"),
-              F.first("bucket").alias("bucket"))
-         .write.mode("overwrite").partitionBy("bucket").parquet(p.dict))
+    CATALOG.write_table(
+        post.groupBy("term")
+            .agg(F.sum("num_docs").alias("df"), F.sum("sum_tf").alias("cf"),
+                 F.first("bucket").alias("bucket")),
+        p.dict, partition_by="bucket")
     # totals from the (tiny) dict + the per-segment manifests — no second
     # full pass over the postings
-    tot = spark.read.parquet(p.dict).agg(
+    tot = CATALOG.read_table(spark, p.dict).agg(
         F.count("*").alias("n_terms"),
         F.sum("df").alias("n_postings"),
         F.sum("cf").alias("sum_dl"),
@@ -300,7 +299,7 @@ def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
         "n_postings": int(tot["n_postings"] or 0),
         "n_blocks": int(sum(s["n_blocks"] for s in seg_rows)),
     }
-    write_json(p.stats, stats)
+    CATALOG.write_meta(p.stats, stats)
     manifest = {
         "format": "parser-indexer-spark/v1",
         "config": cfg.to_dict(),
@@ -310,7 +309,7 @@ def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
         "segments": seg_rows,
         "wall_sec_total": now() - t0,
     }
-    write_json(p.manifest, manifest)  # LAST write = commit (C12)
+    CATALOG.commit_snapshot(out_dir, manifest)  # LAST write = commit (C12)
     return manifest
 
 
@@ -346,8 +345,7 @@ def invert_and_write_segment(spark: SparkSession, p: IndexPaths, seg: int,
            .select("term", "doc_id", "tf", "dl")
            .mapInPandas(make_block_builder(cfg), POSTINGS_SCHEMA)
     )
-    (blocks.write.mode("overwrite").partitionBy("bucket")
-           .parquet(p.postings_seg(seg)))
+    CATALOG.write_table(blocks, p.postings_seg(seg), partition_by="bucket")
     return len(hot)
 
 
@@ -356,7 +354,7 @@ def write_segment_manifest(spark: SparkSession, p: IndexPaths, seg: int,
     """Per-segment metrics + lineage (C13). One job: per-bucket agg (terms
     never cross buckets — bucket = hash(term) — so bucket metrics are
     additive to segment totals driver-side)."""
-    seg_post = spark.read.parquet(p.postings_seg(seg))
+    seg_post = CATALOG.read_table(spark, p.postings_seg(seg))
     rows = (seg_post.groupBy("bucket").agg(
         F.count("*").alias("n_blocks"),
         F.sum("num_docs").alias("n_postings"),
@@ -372,7 +370,7 @@ def write_segment_manifest(spark: SparkSession, p: IndexPaths, seg: int,
                            "sum_tf": int(r["sum_tf"])}
         for r in rows
     }
-    write_json(p.segment_manifest(seg), {
+    CATALOG.write_meta(p.segment_manifest(seg), {
         "seg": seg,
         "n_blocks": int(sum(r["n_blocks"] for r in rows)),
         "n_postings": int(sum(r["n_postings"] for r in rows)),
@@ -391,7 +389,7 @@ def write_segment_manifest(spark: SparkSession, p: IndexPaths, seg: int,
 def _build_segment(spark: SparkSession, p: IndexPaths, seg: int,
                    cfg: EngineConfig, docs_meta: dict) -> None:
     t0 = now()
-    docs_seg = (spark.read.parquet(p.docs)
+    docs_seg = (CATALOG.read_table(spark, p.docs)
                 .where(F.col("seg") == seg)
                 .select("doc_id", "text"))
     if docs_seg.rdd.getNumPartitions() < cfg.build_partitions:
@@ -418,15 +416,14 @@ def read_postings(spark: SparkSession, root: str,
                   segs: Optional[list[int]] = None) -> DataFrame:
     p = IndexPaths(root)
     if segs is None:
-        from parser_indexer_spark.manifest import load_manifest
-        segs = [s["seg"] for s in load_manifest(root)["segments"]]
+        segs = [s["seg"] for s in CATALOG.load_snapshot(root)["segments"]]
     paths = [p.postings_seg(s) for s in segs]
-    return (spark.read.option("basePath", p.postings).parquet(*paths))
+    return CATALOG.read_table(spark, *paths, base_path=p.postings)
 
 
 def read_docs(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(IndexPaths(root).docs)
+    return CATALOG.read_table(spark, IndexPaths(root).docs)
 
 
 def read_dict(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(IndexPaths(root).dict)
+    return CATALOG.read_table(spark, IndexPaths(root).dict)

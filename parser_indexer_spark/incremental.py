@@ -27,22 +27,19 @@ from parser_indexer_spark.build import (
 )
 from parser_indexer_spark.config import EngineConfig
 from parser_indexer_spark.docids import assign_doc_ids
-from parser_indexer_spark.manifest import (
-    IndexPaths, now, read_json, write_json,
-)
+from parser_indexer_spark.manifest import CATALOG, IndexPaths, now
 
 
 def append_segment(spark: SparkSession, root: str, batch: DataFrame,
                    cfg: EngineConfig, input_desc: str = "") -> dict:
     """Append one batch of transcript rows as a new segment; returns the
     recommitted manifest. Bootstraps a fresh index if none exists."""
-    import os
     p = IndexPaths(root)
-    if not os.path.exists(p.docs_marker):
+    if not CATALOG.meta_exists(p.docs_marker):
         return build_index(spark, batch, root, cfg, segments=1,
                            input_desc=input_desc or "bootstrap batch")
     t0 = now()
-    meta = read_json(p.docs_marker)
+    meta = CATALOG.read_meta(p.docs_marker)
     base = int(meta.get("max_doc_id", meta["n_docs"] - 1)) + 1
     seg = int(meta["segments"])
 
@@ -54,14 +51,13 @@ def append_segment(spark: SparkSession, root: str, batch: DataFrame,
         agg = ids.agg(F.count("*"), F.max("doc_id")).first()
         n_new, max_id = int(agg[0]), agg[1]
         if n_new == 0:
-            return read_json(p.manifest) if os.path.exists(p.manifest) else {}
+            return (CATALOG.read_meta(p.manifest)
+                    if CATALOG.meta_exists(p.manifest) else {})
         # dynamic partition overwrite: a replayed batch (crash between the
         # docs write and the docs_marker update) rewrites ONLY its seg=N
         # partition instead of appending duplicates — idempotent per segment
-        (ids.withColumn("seg", F.lit(seg))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("seg").parquet(p.docs))
+        CATALOG.write_table(ids.withColumn("seg", F.lit(seg)), p.docs,
+                            partition_by="seg", dynamic=True)
         tf = ids.select("doc_id", "text") \
                 .mapInPandas(make_tokenize_tf(cfg.stopwords),
                              TOKENIZE_TF_SCHEMA)
@@ -74,7 +70,7 @@ def append_segment(spark: SparkSession, root: str, batch: DataFrame,
     meta["n_docs"] = int(meta["n_docs"]) + n_new
     meta["max_doc_id"] = int(max_id)
     meta["segments"] = seg + 1
-    write_json(p.docs_marker, meta)
+    CATALOG.write_meta(p.docs_marker, meta)
     return finalize_index(spark, root, cfg, meta, seg + 1,
                           input_desc=input_desc or f"append seg {seg}", t0=t0)
 

@@ -69,6 +69,68 @@ class IndexPaths:
         return os.path.join(self.root, "_manifest.json")
 
 
+class ParquetManifestCatalog:
+    """The M8 table-format seam (SURVEY.md §7 M8): EVERY table write/read
+    and snapshot/lineage operation the engine performs goes through this
+    object, so swapping the storage layer is config-only.
+
+    This default implementation = partitioned Parquet + JSON manifests
+    written last (atomic-rename commit; readers require the manifest, so a
+    crashed partial write is invisible — the Iceberg-snapshot contract on
+    plain files).
+
+    Iceberg swap (deploy-time, needs the runtime jar absent in this
+    sandbox): subclass with
+      * write_table  -> ``df.writeTo(ident).partitionedBy(col).
+        createOrReplace()`` / ``.append()``
+      * read_table   -> ``spark.read.table(ident)``
+      * commit_snapshot / load_snapshot -> Iceberg snapshot commit + the
+        table's snapshot metadata (lineage properties)
+    then set ``parser_indexer_spark.manifest.CATALOG`` to an instance. The
+    on-disk layout maps 1:1 onto identity partitioning on (seg, bucket).
+    """
+
+    # ------------------------------------------------------------ tables ---
+    def write_table(self, df, path: str, partition_by=None,
+                    mode: str = "overwrite", dynamic: bool = False) -> None:
+        w = df.write.mode(mode)
+        if dynamic:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
+
+    def read_table(self, spark, *paths: str, base_path: str | None = None):
+        r = spark.read
+        if base_path is not None:
+            r = r.option("basePath", base_path)
+        return r.parquet(*paths)
+
+    # ------------------------------------------- snapshots / manifests ---
+    def write_meta(self, path: str, obj: dict) -> None:
+        write_json(path, obj)
+
+    def read_meta(self, path: str) -> dict:
+        return read_json(path)
+
+    def meta_exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def commit_snapshot(self, root: str, manifest: dict) -> None:
+        """The atomic commit: written LAST, readers require it (C12)."""
+        write_json(IndexPaths(root).manifest, manifest)
+
+    def load_snapshot(self, root: str) -> dict:
+        return load_manifest(root)
+
+    def completed_segments(self, root: str) -> list:
+        return completed_segments(root)
+
+
+#: the active catalog — replace with an Iceberg-backed instance at deploy
+CATALOG = ParquetManifestCatalog()
+
+
 def write_json(path: str, obj: dict) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"

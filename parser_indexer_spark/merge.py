@@ -33,9 +33,7 @@ from parser_indexer_spark.build import (
 )
 from parser_indexer_spark.codec import decode, delta_decode
 from parser_indexer_spark.config import EngineConfig
-from parser_indexer_spark.manifest import (
-    IndexPaths, load_manifest, now, read_json, write_json,
-)
+from parser_indexer_spark.manifest import CATALOG, IndexPaths, now
 
 
 def _decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -63,7 +61,7 @@ def merge_index(spark: SparkSession, src_root: str, dst_root: str,
     """Compact all of src_root's segments into a single-segment index at
     dst_root. Returns the new manifest."""
     t0 = now()
-    src_manifest = load_manifest(src_root)
+    src_manifest = CATALOG.load_snapshot(src_root)
     cfg = cfg or EngineConfig.from_dict(src_manifest["config"])
     sp, dp = IndexPaths(src_root), IndexPaths(dst_root)
 
@@ -73,9 +71,9 @@ def merge_index(spark: SparkSession, src_root: str, dst_root: str,
         shutil.rmtree(dp.root)
     os.makedirs(dp.root)
     shutil.copytree(sp.docs, dp.docs)
-    docs_meta = read_json(dp.docs_marker)
+    docs_meta = CATALOG.read_meta(dp.docs_marker)
     docs_meta["segments"] = 1
-    write_json(dp.docs_marker, docs_meta)
+    CATALOG.write_meta(dp.docs_marker, docs_meta)
 
     blocks = read_postings(spark, src_root)
     tf = blocks.select("term", "num_docs", "first_doc_id",

@@ -44,7 +44,7 @@ from parser_indexer_spark.analyze import tokenize_py
 from parser_indexer_spark.build import read_dict, read_docs, read_postings, term_bucket
 from parser_indexer_spark.codec import decode, delta_decode
 from parser_indexer_spark.config import EngineConfig
-from parser_indexer_spark.manifest import load_manifest, read_json, IndexPaths
+from parser_indexer_spark.manifest import CATALOG, IndexPaths
 
 _PRUNE_EPS = 1e-12  # float-safety margin on the WAND skip test (see §7 hp-3)
 
@@ -64,9 +64,9 @@ class Index:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        self.manifest = load_manifest(root)
+        self.manifest = CATALOG.load_snapshot(root)
         self.cfg = EngineConfig.from_dict(self.manifest["config"])
-        self.stats = read_json(IndexPaths(root).stats)
+        self.stats = CATALOG.read_meta(IndexPaths(root).stats)
         self._dict_cache: dict[str, int] = {}
         # reuse the resolved scan relations across queries (file listing +
         # schema inference happen once per Index handle)
