@@ -214,6 +214,12 @@ def build_index(
         transcripts = transcripts.repartition(cfg.build_partitions)
 
     # ---- phase A: doc store (stored fields) + dense doc_ids -------------
+    # Job-fusion note (VERDICT r1 #5): a fresh build CACHES the source once
+    # and feeds every phase-A job AND the phase-B tokenize from the cache —
+    # one parquet decode of the text column instead of four (sample, counts,
+    # docs write, tokenize all rescanned the input before).
+    ids_cached = None   # persisted (doc_id'd) rows, reused by phase B
+    src = None
     if resume and CATALOG.meta_exists(p.docs_marker):
         docs_meta = CATALOG.read_meta(p.docs_marker)
         n_docs = docs_meta["n_docs"]
@@ -230,7 +236,8 @@ def build_index(
             if n_distinct != n_docs:
                 raise ValueError("doc_id column is not unique")
         else:
-            ids = assign_doc_ids(transcripts, partitions=cfg.build_partitions,
+            src = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
+            ids = assign_doc_ids(src, partitions=cfg.build_partitions,
                                  n_rows=n_input)
             ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
             # internally-assigned ids are dense 0..n_input-1 by construction
@@ -238,9 +245,12 @@ def build_index(
         seg_expr = F.least(F.lit(segments - 1),
                            (F.col("doc_id") * segments / F.lit(max(1, max_id + 1)))
                            .cast("long"))
-        CATALOG.write_table(ids.withColumn("seg", seg_expr), p.docs,
-                            partition_by="seg")
-        ids.unpersist()
+        ids_base = ids  # the persisted node (unpersist must hit exactly it)
+        ids_seg = ids.withColumn("seg", seg_expr)
+        CATALOG.write_table(ids_seg, p.docs, partition_by="seg")
+        if src is not None:
+            src.unpersist()  # ids cache is materialized; source no longer read
+        ids_cached = ids_seg
         docs_meta = {
             "n_docs": n_docs,
             "max_doc_id": int(max_id),
@@ -256,14 +266,20 @@ def build_index(
     # ---- phase B: per-segment inverted-index build (resumable) ----------
     done = set(CATALOG.completed_segments(out_dir)) if resume else set()
     built_this_run = 0
-    for seg in range(seg_count):
-        if seg in done:
-            continue
-        _build_segment(spark, p, seg, cfg, docs_meta)
-        built_this_run += 1
-        if _fail_after_segments is not None and built_this_run >= _fail_after_segments:
-            raise RuntimeError(
-                f"injected failure after {built_this_run} segments (test)")
+    try:
+        for seg in range(seg_count):
+            if seg in done:
+                continue
+            _build_segment(spark, p, seg, cfg, docs_meta,
+                           docs_df=ids_cached)
+            built_this_run += 1
+            if _fail_after_segments is not None and \
+                    built_this_run >= _fail_after_segments:
+                raise RuntimeError(
+                    f"injected failure after {built_this_run} segments (test)")
+    finally:
+        if ids_cached is not None:
+            ids_base.unpersist()
 
     # ---- phase C: dictionary + stats + atomic manifest commit -----------
     return finalize_index(spark, out_dir, cfg, docs_meta, seg_count,
@@ -387,12 +403,17 @@ def write_segment_manifest(spark: SparkSession, p: IndexPaths, seg: int,
 
 
 def _build_segment(spark: SparkSession, p: IndexPaths, seg: int,
-                   cfg: EngineConfig, docs_meta: dict) -> None:
+                   cfg: EngineConfig, docs_meta: dict,
+                   docs_df: Optional[DataFrame] = None) -> None:
+    """``docs_df``: the still-cached phase-A rows (fresh builds) — avoids
+    re-decoding the doc store from parquet; resume paths pass None and read
+    the committed doc store instead."""
     t0 = now()
-    docs_seg = (CATALOG.read_table(spark, p.docs)
-                .where(F.col("seg") == seg)
+    source = docs_df if docs_df is not None \
+        else CATALOG.read_table(spark, p.docs)
+    docs_seg = (source.where(F.col("seg") == seg)
                 .select("doc_id", "text"))
-    if docs_seg.rdd.getNumPartitions() < cfg.build_partitions:
+    if docs_df is None and docs_seg.rdd.getNumPartitions() < cfg.build_partitions:
         docs_seg = docs_seg.repartition(cfg.build_partitions)
     tf = docs_seg.mapInPandas(make_tokenize_tf(cfg.stopwords),
                               TOKENIZE_TF_SCHEMA)
