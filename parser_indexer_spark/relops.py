@@ -398,6 +398,57 @@ def lang_guess(spark, sf_dir):
                     best.alias("lang_guess"))
 
 
+# character-trigram profiles (hand-built from public orthography facts:
+# most-frequent character trigrams of each language; the classic n-gram
+# profile method of Cavnar & Trenkle 1994). Spaces mark word boundaries.
+_TRIGRAM_PROFILES = {
+    "de": [" de", "der", "ein", "ich", "sch", "die", "und", " un", "cht",
+           "gen", "ung", " ge", "nde", "ber", "das"],
+    "en": [" th", "the", "ing", " an", "and", "ion", " of", " to", "ent",
+           "tio", "for", " in", "his", "ere", "ng "],
+    "es": ["que", " qu", "ión", " la", " el", "los", "ado", "est", " es",
+           "nte", "cio", " co", "as ", "ien", "aci"],
+    "fr": [" le", "les", "ent", "des", " pa", "eur", "ais", "our", " et",
+           "ons", "ait", "aux", "nce", "éta", "ouv"],
+}
+
+
+def lang_trigram_df(d: DataFrame) -> DataFrame:
+    """Character-trigram-profile language ID (B5 upgrade over the
+    phrasebook heuristic; Cavnar-Trenkle-style): per language, count how
+    many of its top trigrams occur in the lowercased text; argmax with
+    deterministic language-code tie-break. Pure JVM boolean expressions
+    (no UDF), so it's whole-stage-codegen'd AND DuckDB-verifiable."""
+    tl = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    scores = {}
+    for lang, tris in _TRIGRAM_PROFILES.items():
+        scores[lang] = sum(
+            [F.when(tl.contains(tri), 1).otherwise(0) for tri in tris],
+            F.lit(0))
+    langs = sorted(_TRIGRAM_PROFILES)
+    # sequential argmax: first language (alphabetically) whose score >= all
+    # later ones wins — ties break to the earlier code, same as the oracle
+    best = F.lit(langs[-1])
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1:]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        whens.append((cond, lang))
+    expr = None
+    for cond, lang in whens:
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    best = expr.otherwise(langs[-1])
+    return d.select("doc_id",
+                    *[scores[lg].alias(f"score_{lg}") for lg in langs],
+                    best.alias("lang_id"))
+
+
+def lang_trigram(spark, sf_dir):
+    return lang_trigram_df(T(spark, sf_dir, "documents"))
+
+
 def simhash8(spark, sf_dir):
     """8-bit SimHash fingerprint: per doc, bit i = majority over tokens of
     bit i of md5(token). Cross-engine deterministic because md5 is; the
@@ -516,6 +567,32 @@ def ann_cosine_lsh(spark, sf_dir):
             .select("vec_id", cos.alias("_exact"))
             .orderBy(F.desc("_exact"), F.asc("vec_id")).limit(10)
             .select("vec_id", F.round("_exact", 6).alias("cosine")))
+
+
+def zscore_grouped(spark, sf_dir):
+    """Grouped-map UDF surface (G3, applyInPandas): per-source z-score of
+    n_chars — each group arrives as one pandas DataFrame (the normalize-
+    within-group pattern every feature pipeline needs). Sums of small ints
+    are exact in float64, so mean/std match DuckDB's window aggregates
+    bitwise; round(4) guards the division."""
+    d = T(spark, sf_dir, "documents")
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].astype("float64")
+        mu = x.mean()
+        sd = x.std(ddof=1)  # sample stddev == SQL stddev_samp
+        z = (x - mu) / sd if sd > 0 else x * 0.0
+        return pd.DataFrame({"doc_id": pdf["doc_id"],
+                             "source": pdf["source"],
+                             "z_chars": z})
+
+    out = (d.select("doc_id", "source", "n_chars")
+            .groupBy("source")
+            .applyInPandas(norm, "doc_id long, source string, z_chars double"))
+    # round JVM-side: Spark/DuckDB round half-away-from-zero, while pandas
+    # .round is half-to-even — rounding here keeps the oracle hash-exact
+    return out.select("doc_id", "source",
+                      F.round("z_chars", 4).alias("z_chars"))
 
 
 def asof_join(spark, sf_dir):

@@ -151,11 +151,14 @@ class Index:
                 allowed_bc = spark.sparkContext.broadcast(arr)
             else:
                 truncate = False
-        # scoring width grows with the index (VERDICT r1 #2): ~512 blocks
-        # per task, clamped so tiny indexes don't pay fixed task overhead
+        # scoring width grows with THIS QUERY's posting volume (VERDICT r1
+        # #2): ~512 blocks per task, estimated from the terms' dfs — NOT
+        # from total index size (total-blocks sizing gave a 4M-turn index
+        # 256 tasks for a 2-term query and 4x'd p95; measured r2). Clamped
+        # so tiny queries don't pay fixed task overhead.
+        q_blocks = sum(dfs[t] for t in terms) // max(1, self.cfg.block_size)
         np_parts = score_partitions or min(
-            256, max(4, len(buckets) * 2,
-                     int(self.stats.get("n_blocks", 0)) // 512))
+            256, max(4, len(buckets) * 2, q_blocks // 512))
         scorer = _make_scorer(
             terms=terms, idf=idf, k1=self.cfg.k1, b=self.cfg.b,
             avg_dl=avg_dl, k=k, mode=mode, prune=prune and truncate,

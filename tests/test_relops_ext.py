@@ -72,6 +72,47 @@ def test_simhash_hamming_band_probe(spark):
     assert not any(2 in p for p in pairs)
 
 
+LANG_SENTS = [
+    (0, "the quick brown fox jumps over the lazy dog and the cat is "
+        "sleeping in the warm sun for hours", "en"),
+    (1, "el gobierno de la nación anunció que los estudiantes están "
+        "contentos con la situación de la educación", "es"),
+    (2, "der schnelle braune fuchs springt über den faulen hund und die "
+        "katze schläft in der warmen sonne", "de"),
+    (3, "le gouvernement de la france annonce que les étudiants sont "
+        "contents de la situation des écoles", "fr"),
+    (4, "les travaux pour voir les oiseaux près des châteaux français "
+        "étaient connus de tous les habitants du pays", "fr"),
+    (5, "los niños estaban jugando en el parque cuando empezó a llover y "
+        "corrieron hacia la casa de sus abuelos", "es"),
+    (6, "die kinder spielten im park als es anfing zu regnen und sie "
+        "liefen schnell nach hause zu ihren eltern", "de"),
+    (7, "machine learning systems require large amounts of training data "
+        "for the models to generalize effectively", "en"),
+]
+
+
+def test_lang_trigram_classifies_real_sentences(spark):
+    d = spark.createDataFrame([(i, t) for i, t, _ in LANG_SENTS],
+                              "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_id"]
+           for r in relops.lang_trigram_df(d).collect()}
+    for i, _, lang in LANG_SENTS:
+        assert got[i] == lang, f"doc {i}: {got[i]} != {lang}"
+
+
+def test_zscore_grouped_properties(spark, sf_dir):
+    """Per-group mean(z) ~ 0 and std(z) ~ 1 (the grouped-map contract)."""
+    import pandas as pd
+    pdf = relops.zscore_grouped(spark, sf_dir).toPandas()
+    docs = relops.T(spark, sf_dir, "documents").count()
+    assert len(pdf) == docs
+    for _, g in pdf.groupby("source"):
+        if len(g) > 2 and g["z_chars"].abs().sum() > 0:
+            assert abs(g["z_chars"].mean()) < 1e-2
+            assert abs(g["z_chars"].std(ddof=1) - 1.0) < 1e-2
+
+
 def test_simhash64_identical_docs_identical_bands(spark):
     d = spark.createDataFrame(
         [(0, SIM_DOCS[0][1]), (1, SIM_DOCS[0][1])], "doc_id long, text string")

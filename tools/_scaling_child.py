@@ -18,11 +18,12 @@ from parser_indexer_spark.search import Index  # noqa: E402
 def main() -> None:
     master, cores, input_path, out_dir = (
         sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4])
-    # heap scales with cores: a real N-executor cluster brings N x per-
-    # executor memory, so the local stand-in gets 1 GiB per core (otherwise
-    # 32 concurrent parquet writers thrash a fixed-size heap and the 4N run
-    # measures GC, not the engine)
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{max(8, cores)}g")
+    # heap scales with cores at a FIXED per-core rate (4 GiB/core): a real
+    # 4N-executor cluster brings 4x the aggregate memory, and an unequal
+    # per-core rate (e.g. 8g for both runs = 4 GiB/core at N vs 1 GiB/core
+    # at 4N) makes the 4N run measure GC pressure, not the engine —
+    # measured r2: it doubled cpu_us/turn at 8 cores.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{4 * cores}g")
     spark = get_spark(app="scaling-" + master, master=master,
                       shuffle_partitions=max(8, 2 * cores))
     spark.sparkContext.setLogLevel("ERROR")
