@@ -140,6 +140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_pairs": relops.dedup_near_pairs,
         "ann_cosine": relops.ann_cosine,
         "ann_cosine_lsh": relops.ann_cosine_lsh,
+        "ann_cosine_lsh_probe": relops.ann_cosine_lsh_probe,
+        "token_count_bpe": relops.token_count_bpe,
+        "fingerprint_rolling": relops.fingerprint_rolling,
+        "median_udaf": relops.median_udaf,
         "asof_join": relops.asof_join,
         "zscore_grouped": relops.zscore_grouped,
         "quality_score": relops.quality_score,
@@ -471,6 +475,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(c, 6) AS cosine
             FROM s ORDER BY c DESC, vec_id LIMIT 10""",
+        "ann_cosine_lsh_probe": """
+            WITH planes AS (
+              SELECT p, list_transform(
+                       range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
+                       j -> (CAST((j+1)*(p*7+3)*2654435761 % 1000 AS DOUBLE) - 500)/250.0
+                     ) AS h
+              FROM (SELECT unnest([0,1,2,3]) AS p)
+            ),
+            eb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e,
+                     (CASE WHEN list_dot_product(embedding::DOUBLE[], (SELECT h FROM planes WHERE p=0)) >= 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN list_dot_product(embedding::DOUBLE[], (SELECT h FROM planes WHERE p=1)) >= 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN list_dot_product(embedding::DOUBLE[], (SELECT h FROM planes WHERE p=2)) >= 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN list_dot_product(embedding::DOUBLE[], (SELECT h FROM planes WHERE p=3)) >= 0 THEN 8 ELSE 0 END)
+                     AS bucket
+              FROM embeddings
+            ),
+            q AS (SELECT e AS qe, bucket AS qbucket FROM eb WHERE vec_id = 0),
+            s AS (
+              SELECT vec_id,
+                     list_dot_product(e, qe)
+                     / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS c
+              FROM eb, q
+              WHERE eb.bucket IN (q.qbucket, xor(q.qbucket, 1), xor(q.qbucket, 2),
+                                  xor(q.qbucket, 4), xor(q.qbucket, 8))
+                AND vec_id <> 0
+            )
+            SELECT vec_id, round(c, 6) AS cosine
+            FROM s ORDER BY c DESC, vec_id LIMIT 10""",
+        "token_count_bpe": r"""
+            SELECT doc_id % 10 AS doc_mod, count(*) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS total_tokens,
+                   CAST(max(n) AS BIGINT) AS max_tokens
+            FROM (SELECT doc_id,
+                         len(regexp_extract_all(lower(text),
+                             '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))
+                         AS n
+                  FROM documents)
+            GROUP BY 1""",
+        "fingerprint_rolling": """
+            SELECT doc_id,
+                   CASE WHEN length(text) > 0 THEN
+                     list_reduce(
+                       [CAST(0 AS BIGINT)] ||
+                       list_transform(range(1, length(text) + 1),
+                                      i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+                       (acc, x) -> (acc * 31 + x) % 2147483647)
+                   ELSE 0 END AS fp_roll
+            FROM documents""",
+        "median_udaf": """
+            SELECT event_type, round(median(value), 4) AS median_value
+            FROM events GROUP BY event_type""",
         "quality_score": f"""
             WITH tok AS (SELECT doc_id, n_chars, {_TOK} AS toks FROM documents)
             SELECT doc_id,

@@ -529,6 +529,18 @@ def ann_cosine_lsh(spark, sf_dir):
     sign bits; exact cosine re-rank WITHIN the query's bucket.
     At 100 TB the bucket join replaces the full scan: candidates co-locate
     by a single equi-join on the bucket key."""
+    return _ann_lsh(spark, sf_dir, k=10, probe=False)
+
+
+def ann_cosine_lsh_probe(spark, sf_dir):
+    """Multi-probe LSH ANN: probe the query's bucket PLUS the 4 buckets at
+    Hamming distance 1 (one sign bit flipped) — the standard recall fix for
+    bucketed LSH (a near neighbour that lands just across one hyperplane is
+    recovered). 5 of 16 buckets scanned instead of 1, still never all-pairs."""
+    return _ann_lsh(spark, sf_dir, k=10, probe=True)
+
+
+def _ann_lsh(spark, sf_dir, k, probe):
     emb = T(spark, sf_dir, "embeddings")
     first = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     dim = len(first)
@@ -563,10 +575,66 @@ def ann_cosine_lsh(spark, sf_dir):
         F.lit(0.0), lambda acc, x: acc + x))
     qn = float(sum(float(x) * float(x) for x in qe)) ** 0.5
     cos = dot / (nrm * F.lit(qn))
-    return (with_b.where((F.col("bucket") == qbucket) & (F.col("vec_id") != 0))
+    buckets = [qbucket]
+    if probe:
+        buckets += [qbucket ^ (1 << p) for p in range(4)]
+    return (with_b.where(F.col("bucket").isin(buckets)
+                         & (F.col("vec_id") != 0))
             .select("vec_id", cos.alias("_exact"))
-            .orderBy(F.desc("_exact"), F.asc("vec_id")).limit(10)
+            .orderBy(F.desc("_exact"), F.asc("vec_id")).limit(k)
             .select("vec_id", F.round("_exact", 6).alias("cosine")))
+
+
+BPE_PRETOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+"
+                   r"| ?[^a-z0-9\s']+")
+
+
+def token_count_bpe(spark, sf_dir):
+    """BPE-ish pre-token counting (GPT-2-style pretokenizer shape:
+    contractions | space?+letters | space?+digits | space?+punct-run),
+    RE2-compatible (no lookahead) so DuckDB counts identically. The
+    'how many tokens is my corpus' query of every training-data budget."""
+    d = T(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                    F.lit(BPE_PRETOKEN_RE), 0))
+    return (d.select("doc_id", n.alias("n_bpe_tokens"))
+             .groupBy((F.col("doc_id") % 10).alias("doc_mod"))
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_bpe_tokens").alias("total_tokens"),
+                  F.max("n_bpe_tokens").cast("long").alias("max_tokens")))
+
+
+FP_BASE, FP_MOD = 31, 2147483647  # Horner rolling hash, overflow-safe in i64
+
+
+def fingerprint_rolling(spark, sf_dir):
+    """Document fingerprinting via polynomial rolling hash (Karp-Rabin/
+    Horner: fp = fold(acc*B + byte) mod p). Pure JVM higher-order functions
+    — aggregate over the char-code sequence — so DuckDB's list_reduce
+    agrees exactly. acc*31+255 < 2^36 keeps ANSI long arithmetic safe."""
+    d = T(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("text"))),
+        lambda i: F.ascii(F.substring(F.col("text"), i, 1)).cast("long"))
+    fp = F.aggregate(codes, F.lit(0).cast("long"),
+                     lambda acc, x: (acc * FP_BASE + x) % FP_MOD)
+    fp = F.when(F.length(F.col("text")) > 0, fp).otherwise(F.lit(0).cast("long"))
+    return d.select("doc_id", fp.alias("fp_roll"))
+
+
+def median_udaf(spark, sf_dir):
+    """GROUPED_AGG pandas UDAF surface (G4): exact per-group median via a
+    vectorized pandas aggregation (pandas interpolated median == SQL
+    median/quantile_cont)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pd_median(v: pd.Series) -> float:
+        return float(v.median())
+
+    e = T(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+             .agg(F.round(pd_median("value"), 4).alias("median_value")))
 
 
 def zscore_grouped(spark, sf_dir):

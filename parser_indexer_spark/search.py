@@ -53,6 +53,13 @@ _PRUNE_EPS = 1e-12  # float-safety margin on the WAND skip test (see §7 hp-3)
 # larger filter sides fall back to the semi-join-after-scoring path.
 FILTER_BROADCAST_LIMIT = 1_000_000
 
+# queries whose matched posting volume exceeds this many blocks get a
+# cross-executor WAND θ seed (D8 v2): the driver exactly scores the single
+# highest-upper-bound chunk (metadata-only argmax + one small collect) and
+# ships its k-th score as θ0 to EVERY partition, so pruning starts hot
+# instead of each partition growing its own θ from zero.
+THETA_SEED_MIN_BLOCKS = 5_000
+
 
 def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -92,7 +99,8 @@ class Index:
     def search(self, query: str, k: int = 10, mode: str = "OR",
                doc_filter: Optional[str] = None, prune: bool = True,
                score_partitions: Optional[int] = None,
-               after: Optional[tuple] = None) -> DataFrame:
+               after: Optional[tuple] = None,
+               seed_theta: Optional[bool] = None) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id long, score double), ordered
         by (score desc, doc_id asc), <= k rows.
 
@@ -159,11 +167,17 @@ class Index:
         q_blocks = sum(dfs[t] for t in terms) // max(1, self.cfg.block_size)
         np_parts = score_partitions or min(
             256, max(4, len(buckets) * 2, q_blocks // 512))
+        theta0 = 0.0
+        if (prune and truncate and allowed_bc is None and after is None
+                and seed_theta is not False
+                and (seed_theta is True
+                     or q_blocks >= THETA_SEED_MIN_BLOCKS)):
+            theta0 = self._seed_theta(blocks, terms, idf, avg_dl, k, mode)
         scorer = _make_scorer(
             terms=terms, idf=idf, k1=self.cfg.k1, b=self.cfg.b,
             avg_dl=avg_dl, k=k, mode=mode, prune=prune and truncate,
             truncate=truncate, chunk_bits=self.cfg.chunk_bits,
-            allowed_bc=allowed_bc, after=after,
+            allowed_bc=allowed_bc, after=after, theta0=theta0,
         )
         cand = (
             blocks.repartition(np_parts, "chunk")
@@ -173,6 +187,37 @@ class Index:
         if doc_filter is not None and allowed_bc is None:
             cand = cand.join(allowed_df, "doc_id", "left_semi")
         return cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _seed_theta(self, blocks: DataFrame, terms, idf, avg_dl, k,
+                    mode) -> float:
+        """Cross-executor WAND θ seed (D8 v2): find the chunk with the
+        highest summed per-term block-max upper bound (metadata-only agg —
+        no posting decode), collect just that chunk's blocks, score it
+        exactly with the SAME scorer code, and return its k-th score. θ0 is
+        an achieved score of k real docs, so the global k-th best is >= θ0
+        and pruning against it stays lossless everywhere."""
+        k1, b = self.cfg.k1, self.cfg.b
+        idf_col = F.lit(0.0)
+        for t in terms:
+            idf_col = F.when(F.col("term") == t, float(idf[t])).otherwise(idf_col)
+        tfn = F.col("max_tf") / (
+            F.col("max_tf") + k1 * (1.0 - b + b * F.col("min_dl") / avg_dl))
+        per = (blocks.groupBy("chunk", "term")
+               .agg(F.max(idf_col * tfn).alias("u")))
+        best = (per.groupBy("chunk").agg(F.sum("u").alias("ub"))
+                .orderBy(F.desc("ub"), F.asc("chunk")).limit(1).collect())
+        if not best:
+            return 0.0
+        seed_rows = blocks.where(F.col("chunk") == best[0]["chunk"]).toPandas()
+        if seed_rows.empty:
+            return 0.0
+        sc = _make_scorer(terms=terms, idf=idf, k1=k1, b=b, avg_dl=avg_dl,
+                          k=k, mode=mode, prune=False, truncate=True,
+                          chunk_bits=self.cfg.chunk_bits)
+        out = pd.concat(list(sc(iter([seed_rows]))), ignore_index=True)
+        if len(out) < k:
+            return 0.0
+        return float(out["score"].min())
 
     def fetch(self, topk: DataFrame) -> DataFrame:
         """A6 doc-store fetch: join top-k ids back to stored fields; the
@@ -209,7 +254,7 @@ class Index:
 
 
 def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
-                 chunk_bits, allowed_bc=None, after=None):
+                 chunk_bits, allowed_bc=None, after=None, theta0=0.0):
     """Build the mapInPandas scoring function. Input arrives chunk-sorted
     within the partition (sortWithinPartitions upstream); the scorer STREAMS
     complete chunk runs off the Arrow batch iterator with a carry for the
@@ -238,6 +283,8 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
                 return heap_docs, heap_scores  # no allowed doc in range
             allowed_chunk = allowed[lo:hi]
         theta = heap_scores[-1] if truncate and len(heap_scores) == k else None
+        if theta0 > 0.0:
+            theta = theta0 if theta is None else max(theta, theta0)
         present = rows["term"].to_numpy()
         uniq_terms = pd.unique(present)
         if mode == "AND" and len(uniq_terms) < m:

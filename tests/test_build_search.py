@@ -231,6 +231,18 @@ def test_scorer_streams_chunk_runs_with_carry():
     assert run(split, allowed=odd) == expect
 
 
+@pytest.mark.parametrize("q,mode", QUERIES[:8])
+def test_theta_seeding_lossless(engine, q, mode):
+    """Cross-executor WAND θ seeding (D8 v2): forcing the driver-side seed
+    must return exactly the unseeded results — θ0 is an achieved k-th score,
+    so pruning against it is lossless."""
+    a = [(r.doc_id, r.score) for r in
+         engine.search(q, k=10, mode=mode, seed_theta=True).collect()]
+    b = [(r.doc_id, r.score) for r in
+         engine.search(q, k=10, mode=mode, seed_theta=False).collect()]
+    assert a == b
+
+
 def test_search_after_deep_paging(engine):
     """D11 cursorMark analogue on the BM25 path: page1 + page2-via-cursor
     == one k=20 search; the cursor round-trips exactly (deterministic

@@ -25,12 +25,24 @@ def main() -> None:
     # measured r2: it doubled cpu_us/turn at 8 cores.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{4 * cores}g")
     spark = get_spark(app="scaling-" + master, master=master,
-                      shuffle_partitions=max(8, 2 * cores))
+                      shuffle_partitions=max(8, 4 * cores))
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(input_path)
     shutil.rmtree(out_dir, ignore_errors=True)
-    cfg = EngineConfig(n_buckets=32, build_partitions=2 * cores,
+    # 4 task waves per stage at either size: finer waves shrink the
+    # straggler tail a short 4N run pays proportionally more for
+    cfg = EngineConfig(n_buckets=32, build_partitions=4 * cores,
                        salt_df_threshold=50_000, n_salts=16, chunk_bits=17)
+
+    # untimed warmup build (~200k turns): JVM JIT + codegen caches + python
+    # worker pools are steady-state on a real long-running cluster; without
+    # it the shorter 4N run pays the same one-time cost over 3x less work,
+    # understating true scaling
+    warm_dir = out_dir + "_warmup"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(spark, df.limit(200_000), warm_dir, cfg, segments=1,
+                input_desc="warmup")
+    shutil.rmtree(warm_dir, ignore_errors=True)
     import glob
     import resource
 
