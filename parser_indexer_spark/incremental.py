@@ -124,6 +124,36 @@ def conversation_sessions(stream_df: DataFrame, gap: str = "30 minutes",
                  F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")))
 
 
+def streaming_dedup(stream_df: DataFrame) -> DataFrame:
+    """Cross-batch exact dedup (training-data pipeline, streaming tier):
+    stateful first-seen filter keyed by content hash — a duplicate arriving
+    in ANY later micro-batch is dropped because the fingerprint state
+    persists across batches (applyInPandasWithState). Emits one row per
+    first occurrence with a running duplicate count in state."""
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    withfp = stream_df.select(F.md5(F.col("text")).alias("fp"),
+                              "conv_id", "turn_idx")
+
+    def fn(key, pdfs, state: GroupState):
+        n_new = 0
+        first: Optional[pd.DataFrame] = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[:1]
+            n_new += len(pdf)
+        seen_before = state.exists
+        total = (state.get[0] if seen_before else 0) + n_new
+        state.update((total,))
+        if not seen_before and first is not None:
+            yield first[["fp", "conv_id", "turn_idx"]]
+
+    return withfp.groupBy("fp").applyInPandasWithState(
+        fn, "fp string, conv_id string, turn_idx int", "n long",
+        "update", GroupStateTimeout.NoTimeout)
+
+
 def running_turn_counts(stream_df: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-conversation turn counter via
     applyInPandasWithState (update mode)."""

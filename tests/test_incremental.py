@@ -121,6 +121,37 @@ def test_term_volume_windows(spark, corpus, tmp_path):
     assert got == exp
 
 
+def test_streaming_dedup_across_batches(spark, corpus, tmp_path):
+    """Cross-batch stateful dedup: texts duplicated into a LATER micro-batch
+    are suppressed (state remembers fingerprints); each distinct text is
+    emitted exactly once, at its first occurrence."""
+    from parser_indexer_spark.incremental import streaming_dedup
+
+    src = str(tmp_path / "dd_src")
+    os.makedirs(src)
+    base = corpus.iloc[:200]
+    # batch 0: originals; batch 1: 100 exact dups (new conv ids) + 100 new
+    dup = base.iloc[:100].copy()
+    dup["conv_id"] = dup["conv_id"] + "_dup"
+    fresh = corpus.iloc[200:300]
+    import pandas as pd
+    spark.createDataFrame(base).coalesce(1).write.parquet(f"{src}/slice=0")
+    spark.createDataFrame(pd.concat([dup, fresh])).coalesce(1) \
+         .write.parquet(f"{src}/slice=1")
+    schema = spark.read.parquet(f"{src}/slice=0").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/slice=*"))
+    q = (streaming_dedup(stream)
+         .writeStream.format("memory").queryName("dedup")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.sql("select fp, count(*) n from dedup group by fp").toPandas()
+    # every fingerprint emitted exactly once
+    assert (got["n"] == 1).all()
+    n_distinct = len(set(pd.concat([base, dup, fresh])["text"]))
+    assert len(got) == n_distinct
+
+
 def test_sessions_and_stateful(spark, corpus, tmp_path):
     src = str(tmp_path / "ss_src")
     spark.createDataFrame(corpus).write.parquet(src)

@@ -24,14 +24,17 @@ def main() -> None:
     # at 4N) makes the 4N run measure GC pressure, not the engine —
     # measured r2: it doubled cpu_us/turn at 8 cores.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{4 * cores}g")
+    # partitioning is a property of the JOB, not the cluster: both cluster
+    # sizes run the IDENTICAL plan (same build/shuffle partition counts),
+    # only the executor count differs — exactly how a real N vs 4N cluster
+    # comparison is run. Width default = 4 waves on the LARGER cluster.
+    parts = int(os.environ.get("SCALING_PARTITIONS", "16"))
     spark = get_spark(app="scaling-" + master, master=master,
-                      shuffle_partitions=max(8, 4 * cores))
+                      shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(input_path)
     shutil.rmtree(out_dir, ignore_errors=True)
-    # 4 task waves per stage at either size: finer waves shrink the
-    # straggler tail a short 4N run pays proportionally more for
-    cfg = EngineConfig(n_buckets=32, build_partitions=4 * cores,
+    cfg = EngineConfig(n_buckets=32, build_partitions=parts,
                        salt_df_threshold=50_000, n_salts=16, chunk_bits=17)
 
     # untimed warmup build (~200k turns): JVM JIT + codegen caches + python
