@@ -90,6 +90,49 @@ def term_dict_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_dict(spark, ix.root).select("term", "df", "cf")
 
 
+def term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14 suggester: prefix completion from the index term dictionary,
+    ranked by collection frequency (Solr Suggester analogue) — served from
+    the tiny dict table, zero postings touched."""
+    from parser_indexer_spark.build import read_dict
+    ix = _documents_index(spark, sf_dir)
+    return (read_dict(spark, ix.root)
+            .where(F.col("term").startswith("s"))
+            .orderBy(F.desc("cf"), F.asc("term"))
+            .select("term", "cf").limit(10))
+
+
+def spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14 spellcheck: nearest dictionary terms to a misspelled query term
+    by (edit distance, df desc) — levenshtein over the dict table only
+    (Solr DirectSolrSpellChecker analogue)."""
+    from parser_indexer_spark.build import read_dict
+    ix = _documents_index(spark, sf_dir)
+    d = F.levenshtein(F.col("term"), F.lit("sparl"))
+    return (read_dict(spark, ix.root)
+            .withColumn("dist", d.cast("int"))
+            .where(F.col("dist") <= 2)
+            .orderBy("dist", F.desc("df"), F.asc("term"))
+            .select("term", "dist", "df").limit(5))
+
+
+def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14 MLT: documents most similar to doc 0 — BM25 OR-query over doc
+    0's 5 rarest terms (lowest df, Lucene MLT's interesting-terms
+    selection), source doc excluded from the page."""
+    from parser_indexer_spark.analyze import tokenize_py
+    ix = _documents_index(spark, sf_dir)
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .where(F.col("doc_id") == 0).select("text").first())["text"]
+    terms = sorted(set(tokenize_py(src)))
+    dfs = ix.term_stats(terms)
+    picked = sorted((t for t in terms if dfs[t] > 0),
+                    key=lambda t: (dfs[t], t))[:5]
+    top = ix.search(" ".join(picked), k=10, mode="OR")
+    return (top.where(F.col("doc_id") != 0)
+               .select("doc_id", F.round("score", 4).alias("score")))
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline (parser_indexer_spark.multimodal):
     byte-class histogram over the BINARY payload, computed by np.frombuffer
@@ -129,6 +172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_percentile": relops.facet_percentile,
         "setop_union": relops.setop_union,
         "setop_except": relops.setop_except,
+        "setop_intersect": relops.setop_intersect,
+        "term_suggest": term_suggest,
+        "spellcheck": spellcheck,
+        "more_like_this": more_like_this,
         "str_tokens": relops.str_tokens,
         "date_trunc_agg": relops.date_trunc_agg,
         "array_explode_tf": relops.array_explode_tf,
@@ -195,6 +242,45 @@ scored AS (
 )
 SELECT doc_id, round(score, 4) AS score
 FROM scored ORDER BY scored.score DESC, doc_id LIMIT {k}
+"""
+
+
+def _mlt_sql(k: int) -> str:
+    """DuckDB MLT oracle: BM25 over doc 0's 5 rarest terms (df asc, term
+    asc), top-k page computed first, source doc excluded after — mirrors
+    more_like_this exactly."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl) AS sum_dl
+),
+alldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+qterms AS (
+  SELECT term FROM alldf
+  WHERE term IN (SELECT DISTINCT term FROM tok WHERE doc_id = 0)
+  ORDER BY df ASC, term LIMIT 5
+),
+tfs AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         sum( ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                        / (st.sum_dl * 1.0 / st.n_docs))) ) AS score
+  FROM tfs t JOIN dfs d USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY t.doc_id
+)
+SELECT * FROM (
+  SELECT doc_id, round(score, 4) AS score
+  FROM scored ORDER BY scored.score DESC, doc_id LIMIT {k}
+) WHERE doc_id <> 0
 """
 
 
@@ -333,6 +419,24 @@ def oracle_sql() -> dict[str, str]:
         "setop_except": """
             SELECT c_custkey FROM customer
             EXCEPT SELECT o_custkey FROM orders""",
+        "setop_intersect": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+        "term_suggest": f"""
+            SELECT term, CAST(count(*) AS BIGINT) AS cf
+            FROM (SELECT unnest({_TOK}) AS term FROM documents)
+            WHERE term LIKE 's%'
+            GROUP BY term ORDER BY cf DESC, term LIMIT 10""",
+        "spellcheck": f"""
+            WITH d AS (
+              SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+              GROUP BY term)
+            SELECT term, CAST(levenshtein(term, 'sparl') AS INT) AS dist, df
+            FROM d WHERE levenshtein(term, 'sparl') <= 2
+            ORDER BY dist, df DESC, term LIMIT 5""",
+        "more_like_this": _mlt_sql(_FLAGSHIP_K),
         "str_tokens": f"""
             SELECT term, count(*) AS n_occurrences
             FROM (SELECT unnest({_TOK}) AS term FROM documents)

@@ -177,6 +177,14 @@ def setop_except(spark, sf_dir):
     return c.exceptAll(o.distinct()).distinct()
 
 
+def setop_intersect(spark, sf_dir):
+    """INTERSECT: customers that placed both an 'F' and an 'O' order."""
+    o = T(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
 # --------------------------------------------- strings / dates / arrays ---
 
 def str_tokens(spark, sf_dir):
