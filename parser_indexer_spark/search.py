@@ -57,8 +57,12 @@ FILTER_BROADCAST_LIMIT = 1_000_000
 # cross-executor WAND θ seed (D8 v2): the driver exactly scores the single
 # highest-upper-bound chunk (metadata-only argmax + one small collect) and
 # ships its k-th score as θ0 to EVERY partition, so pruning starts hot
-# instead of each partition growing its own θ from zero.
-THETA_SEED_MIN_BLOCKS = 5_000
+# instead of each partition growing its own θ from zero. The threshold is
+# set where the fan-out is wide enough (~64 scoring tasks) that saved
+# decode work beats the seed's two extra small jobs; below it the fixed
+# per-job latency dominates and seeding is a net loss (measured: +2s p95
+# on a 4M-turn index with a 5k-block threshold).
+THETA_SEED_MIN_BLOCKS = 32_768
 
 
 def bm25_idf(n_docs: int, df: int) -> float:
