@@ -114,7 +114,16 @@ def for_encode_blocks(vals: np.ndarray, bstarts: np.ndarray,
     if nblk == 0:
         return []
     bstarts = np.ascontiguousarray(bstarts, dtype=np.int64)
-    lens = (np.ascontiguousarray(bends, dtype=np.int64) - bstarts)
+    bends_a = np.ascontiguousarray(bends, dtype=np.int64)
+    # contiguity contract (ADVICE r2): blocks must be non-empty, adjacent,
+    # and cover vals exactly — np.maximum.reduceat segments run
+    # start-to-start, so a gap/overlap/empty block would silently produce
+    # wrong widths and payloads. Cheap O(nblk) check, always on.
+    lens = bends_a - bstarts
+    if (lens <= 0).any() or bstarts[0] != 0 or bends_a[-1] != v.size \
+            or (nblk > 1 and (bends_a[:-1] != bstarts[1:]).any()):
+        raise ValueError("for_encode_blocks: blocks must be contiguous, "
+                         "non-empty, and cover vals exactly")
     widths = _bit_widths(np.maximum.reduceat(v, bstarts))
     blk_bytes = (lens * widths + 7) // 8  # blocks start byte-aligned
     byte_off = np.concatenate(([0], np.cumsum(blk_bytes)))

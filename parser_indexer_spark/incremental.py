@@ -31,15 +31,31 @@ from parser_indexer_spark.manifest import CATALOG, IndexPaths, now
 
 
 def append_segment(spark: SparkSession, root: str, batch: DataFrame,
-                   cfg: EngineConfig, input_desc: str = "") -> dict:
+                   cfg: EngineConfig, input_desc: str = "",
+                   batch_id: Optional[int] = None) -> dict:
     """Append one batch of transcript rows as a new segment; returns the
-    recommitted manifest. Bootstraps a fresh index if none exists."""
+    recommitted manifest. Bootstraps a fresh index if none exists.
+
+    ``batch_id``: streaming batch id (foreachBatch). A replay whose id is
+    already recorded in the docs_marker is a no-op (ADVICE r2): segment-
+    granularity overwrite alone left a window where a replay AFTER the
+    marker update but before the streaming checkpoint commit re-indexed the
+    batch as a brand-new segment with fresh doc_ids."""
     p = IndexPaths(root)
     if not CATALOG.meta_exists(p.docs_marker):
-        return build_index(spark, batch, root, cfg, segments=1,
-                           input_desc=input_desc or "bootstrap batch")
+        m = build_index(spark, batch, root, cfg, segments=1,
+                        input_desc=input_desc or "bootstrap batch")
+        if batch_id is not None:
+            meta0 = CATALOG.read_meta(p.docs_marker)
+            meta0["last_batch_id"] = int(batch_id)
+            CATALOG.write_meta(p.docs_marker, meta0)
+        return m
     t0 = now()
     meta = CATALOG.read_meta(p.docs_marker)
+    if batch_id is not None and meta.get("last_batch_id") is not None \
+            and int(batch_id) <= int(meta["last_batch_id"]):
+        return (CATALOG.read_meta(p.manifest)
+                if CATALOG.meta_exists(p.manifest) else {})
     base = int(meta.get("max_doc_id", meta["n_docs"] - 1)) + 1
     seg = int(meta["segments"])
 
@@ -70,6 +86,8 @@ def append_segment(spark: SparkSession, root: str, batch: DataFrame,
     meta["n_docs"] = int(meta["n_docs"]) + n_new
     meta["max_doc_id"] = int(max_id)
     meta["segments"] = seg + 1
+    if batch_id is not None:
+        meta["last_batch_id"] = int(batch_id)
     CATALOG.write_meta(p.docs_marker, meta)
     return finalize_index(spark, root, cfg, meta, seg + 1,
                           input_desc=input_desc or f"append seg {seg}", t0=t0)
@@ -86,7 +104,8 @@ def incremental_index_query(stream_df: DataFrame, root: str,
         if batch.isEmpty():
             return
         append_segment(batch.sparkSession, root, batch, cfg,
-                       input_desc=f"stream batch {batch_id}")
+                       input_desc=f"stream batch {batch_id}",
+                       batch_id=batch_id)
 
     w = (stream_df.writeStream.foreachBatch(process)
          .option("checkpointLocation", checkpoint))
@@ -140,8 +159,16 @@ def streaming_dedup(stream_df: DataFrame) -> DataFrame:
         n_new = 0
         first: Optional[pd.DataFrame] = None
         for pdf in pdfs:
-            if first is None and len(pdf):
-                first = pdf.iloc[:1]
+            if len(pdf):
+                # deterministic representative (ADVICE r2): the minimal
+                # (conv_id, turn_idx) across ALL chunks of the batch, not
+                # whichever pandas chunk happened to arrive first — replays
+                # of the same data emit the same surviving row.
+                cand = pdf.sort_values(["conv_id", "turn_idx"]).iloc[:1]
+                if first is None or (
+                        (cand["conv_id"].iat[0], int(cand["turn_idx"].iat[0]))
+                        < (first["conv_id"].iat[0], int(first["turn_idx"].iat[0]))):
+                    first = cand
             n_new += len(pdf)
         seen_before = state.exists
         total = (state.get[0] if seen_before else 0) + n_new

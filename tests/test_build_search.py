@@ -175,11 +175,13 @@ def test_filter_fallback_path_identical(monkeypatch, engine):
     want = [(r.doc_id, r.score) for r in
             engine.search("spark join", k=10,
                           doc_filter="role = 'assistant'").collect()]
+    engine.close()  # drop the cached broadcast so the new limit applies
     monkeypatch.setattr(searchmod, "FILTER_BROADCAST_LIMIT", 1)
     df = engine.search("spark join", k=10, doc_filter="role = 'assistant'")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan  # really took the fallback
     got = [(r.doc_id, r.score) for r in df.collect()]
+    engine.close()  # drop the cached "too big" verdict taken under limit=1
     assert got == want
 
 
