@@ -37,7 +37,9 @@ def _documents_index(spark: SparkSession, sf_dir: str,
     documents; reuses the committed index on later calls (C12 resume).
     variant='stop' uses the opt-in stopword analyzer (persisted in the
     manifest with a bumped analyzer_version)."""
-    key = sf_dir.strip("/").replace("/", "_") + "_" + variant
+    # "v3": positional-postings on-disk format — a /tmp cache from an older
+    # round lacks pos_enc and must not be reused
+    key = sf_dir.strip("/").replace("/", "_") + "_" + variant + "_v3"
     out = os.path.join(_INDEX_CACHE_ROOT, key)
     try:
         return Index(spark, out)
@@ -80,6 +82,24 @@ def topk_bm25_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same stop list."""
     ix = _documents_index(spark, sf_dir, variant="stop")
     top = ix.search("the fast spark join", k=_FLAGSHIP_K, mode="OR")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def topk_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query over positional postings (D-phrase, [public:
+    Lucene PhraseQuery]): docs whose token stream contains 'spark'
+    immediately followed by 'join', scored as one pseudo-term —
+    idf_sum * tf_norm(phrase_tf, dl)."""
+    ix = _documents_index(spark, sf_dir)
+    top = ix.phrase("spark join", k=_FLAGSHIP_K, slop=0)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def topk_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity (chained-gap slop=2): 'filter' then 'window'
+    within 3 positions, in order."""
+    ix = _documents_index(spark, sf_dir)
+    top = ix.phrase("filter window", k=_FLAGSHIP_K, slop=2)
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -154,6 +174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_bm25_and": topk_bm25_and,
         "topk_bm25_and_absent": topk_bm25_and_absent,
         "topk_bm25_stop": topk_bm25_stop,
+        "topk_phrase": topk_phrase,
+        "topk_phrase_slop": topk_phrase_slop,
         "term_dict_stats": term_dict_stats,
         # relational coverage (SURVEY.md §2.E)
         "project_filter": relops.project_filter,
@@ -242,6 +264,34 @@ scored AS (
 )
 SELECT doc_id, round(score, 4) AS score
 FROM scored ORDER BY scored.score DESC, doc_id LIMIT {k}
+"""
+
+
+def _phrase_sql(term_a: str, term_b: str, slop: int, k: int) -> str:
+    """DuckDB mirror of Index.phrase for a two-term phrase: phrase_tf =
+    count of start positions i with toks[i]=a and b within (i, i+slop+1];
+    score = (idf_a + idf_b) * tf_norm(phrase_tf, dl)."""
+    if slop == 0:
+        ptf = (f"len(list_filter(range(1, len(toks)), i -> "
+               f"toks[i]='{term_a}' AND toks[i+1]='{term_b}'))")
+    else:
+        ptf = (f"len(list_filter(range(1, len(toks) + 1), i -> "
+               f"toks[i]='{term_a}' AND len(list_filter("
+               f"range(i+1, least(i+{slop + 2}, len(toks)+1)), "
+               f"j -> toks[j]='{term_b}')) > 0))")
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl,
+       sum(CASE WHEN list_contains(toks, '{term_a}') THEN 1 ELSE 0 END) AS df_a,
+       sum(CASE WHEN list_contains(toks, '{term_b}') THEN 1 ELSE 0 END) AS df_b
+       FROM tok),
+ph AS (SELECT doc_id, len(toks) AS dl, {ptf} AS ptf FROM tok),
+scored AS (SELECT doc_id,
+   (ln(1+(n_docs-df_a+0.5)/(df_a+0.5)) + ln(1+(n_docs-df_b+0.5)/(df_b+0.5)))
+   * ptf / (ptf + 1.2*(1-0.75+0.75*dl/(sum_dl*1.0/n_docs))) AS score
+   FROM ph CROSS JOIN st WHERE ptf > 0)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
@@ -336,6 +386,8 @@ def oracle_sql() -> dict[str, str]:
             "'agg', 'hash', 'zzzabsentterm'", "AND", _FLAGSHIP_K),
         "topk_bm25_stop": _bm25_sql("'join', 'spark'", "OR", _FLAGSHIP_K,
                                     stop=_STOP_LIST),
+        "topk_phrase": _phrase_sql("spark", "join", 0, _FLAGSHIP_K),
+        "topk_phrase_slop": _phrase_sql("filter", "window", 2, _FLAGSHIP_K),
         "term_dict_stats": f"""
             SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM (
               SELECT doc_id, term, count(*) AS tf

@@ -77,6 +77,11 @@ def main() -> None:
     cur = (p1[-1]["score"], p1[-1]["doc_id"])
     timed("q_bm25_page2",
           lambda: ix.search("spark join", k=10, after=cur).collect())
+    # positional path (D-phrase, r3)
+    timed("q_phrase",
+          lambda: ix.phrase("spark join", k=10).collect())
+    timed("q_phrase_slop",
+          lambda: ix.phrase("filter window", k=10, slop=2).collect())
 
     # 3. relational suite
     for name in ["project_filter", "join_broadcast", "join_sortmerge",

@@ -74,10 +74,18 @@ def _flatten(toks: pa.ListArray, stopwords: tuple = ()):
     return flat, parents, counts
 
 
-def make_tokenize_tf(stopwords: tuple = ()):
+def make_tokenize_tf(stopwords: tuple = (), positions: bool = True):
     """Factory for the fused C1+C2 mapInPandas stage with an optional
     per-index stopword list (persisted in the manifest; analyzer_version is
-    bumped by EngineConfig when set)."""
+    bumped by EngineConfig when set).
+
+    ``positions``: emit ``pos_gaps`` — per (doc, term) the token positions
+    in the doc, gap-encoded within the posting (first value absolute, then
+    strictly-positive deltas), ready for the block builder's positional
+    payload (D-phrase). Positions index the POST-stopword-filter token
+    stream (documented deviation from Lucene's position-increment gaps —
+    with the default empty stop list the two coincide). Vectorized: one
+    lexsort + boundary diff per batch, no per-row Python."""
 
     def tokenize_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -86,20 +94,36 @@ def make_tokenize_tf(stopwords: tuple = ()):
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             arr = pa.array(pdf["text"], type=pa.string())
             flat, parents, counts = _flatten(tokenize_arrow(arr), stopwords)
-            if len(flat) == 0:
+            n = len(flat)
+            if n == 0:
                 continue
-            g = pd.DataFrame({
-                "doc_id": doc_ids[parents],
-                "term": flat.to_pandas(),
-                "dl": counts[parents].astype(np.int32),
-            })
-            tf = (
-                g.groupby(["doc_id", "term"], sort=False)
-                .agg(tf=("term", "size"), dl=("dl", "first"))
-                .reset_index()
-            )
-            tf["tf"] = tf["tf"].astype(np.int32)
-            yield tf[["doc_id", "term", "tf", "dl"]]
+            # token position within its doc: flat keeps doc-major token
+            # order, so position = global index - the doc's first index
+            row_starts = np.concatenate(
+                ([0], np.cumsum(counts)[:-1])).astype(np.int64)
+            pos = np.arange(n, dtype=np.int64) - row_starts[parents]
+            codes, uniq_terms = pd.factorize(flat.to_pandas(), sort=False)
+            order = np.lexsort((pos, codes, parents))
+            p_s, c_s, pos_s = parents[order], codes[order], pos[order]
+            cut = np.empty(n, dtype=bool)
+            cut[0] = True
+            cut[1:] = (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])
+            starts = np.flatnonzero(cut)
+            tf = np.diff(np.append(starts, n)).astype(np.int32)
+            out = {
+                "doc_id": doc_ids[p_s[starts]],
+                "term": uniq_terms.to_numpy(dtype=object)[c_s[starts]],
+                "tf": tf,
+                "dl": counts[p_s[starts]].astype(np.int32),
+            }
+            if positions:
+                gaps = pos_s.copy()
+                gaps[1:] -= pos_s[:-1]
+                gaps[starts] = pos_s[starts]  # first-of-posting = absolute
+                out["pos_gaps"] = np.split(gaps.astype(np.int32), starts[1:])
+            else:
+                out["pos_gaps"] = [None] * starts.size
+            yield pd.DataFrame(out)
 
     return tokenize_tf
 
@@ -114,7 +138,8 @@ def make_tokenize_tf(stopwords: tuple = ()):
 tokenize_tf_batches = make_tokenize_tf()
 
 
-TOKENIZE_TF_SCHEMA = "doc_id long, term string, tf int, dl int"
+TOKENIZE_TF_SCHEMA = ("doc_id long, term string, tf int, dl int, "
+                      "pos_gaps array<int>")
 
 
 # ----------------------------------------------------------- Python oracle ---

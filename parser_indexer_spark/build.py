@@ -50,7 +50,7 @@ from parser_indexer_spark.manifest import CATALOG, IndexPaths, now
 POSTINGS_SCHEMA = (
     "term string, bucket int, chunk long, first_doc_id long, "
     "last_doc_id long, num_docs int, max_tf int, min_dl int, sum_tf long, "
-    "docs_enc binary, tfs_enc binary, dls_enc binary"
+    "docs_enc binary, tfs_enc binary, dls_enc binary, pos_enc binary"
 )
 POSTINGS_COLS = [c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]
 
@@ -61,7 +61,8 @@ def term_bucket(term: str, n_buckets: int) -> int:
 
 
 def _encode_rows(terms: np.ndarray, d: np.ndarray, t: np.ndarray,
-                 l: np.ndarray, cfg: EngineConfig) -> pd.DataFrame:
+                 l: np.ndarray, cfg: EngineConfig,
+                 pg: Optional[np.ndarray] = None) -> pd.DataFrame:
     """Vectorized block construction for a (term, doc_id)-sorted row range
     containing only COMPLETE term runs. Whole-range batch encode per column
     (FOR: one bit-scatter pass per distinct width + one packbits; varint:
@@ -98,10 +99,21 @@ def _encode_rows(terms: np.ndarray, d: np.ndarray, t: np.ndarray,
     if n and nonstart.any() and gaps[nonstart].min() <= 0:
         raise ValueError("doc_ids not strictly ascending within term run")
 
+    # positional payload (D-phrase): pg is the flat within-doc position-gap
+    # stream aligned with the postings (tf values per posting); a block's
+    # slice of it is [cumsum_tf[bstart], cumsum_tf[bend]) — the position
+    # blocks inherit the doc blocks' grid, no extra bookkeeping columns
+    pos_enc = None
+    if pg is not None:
+        cum_t = np.concatenate(([0], np.cumsum(t, dtype=np.int64)))
+        pstarts, pends = cum_t[bstarts], cum_t[bends]
+
     if cfg.codec == "for":
         docs_enc = for_encode_blocks(gaps.astype(np.uint64), bstarts, bends)
         tfs_enc = for_encode_blocks(t.astype(np.uint64), bstarts, bends)
         dls_enc = for_encode_blocks(l.astype(np.uint64), bstarts, bends)
+        if pg is not None:
+            pos_enc = for_encode_blocks(pg.astype(np.uint64), pstarts, pends)
     else:
         d_stream, d_nb = varint_encode_stream(gaps.astype(np.uint64))
         t_stream, t_nb = varint_encode_stream(t.astype(np.uint64))
@@ -117,6 +129,12 @@ def _encode_rows(terms: np.ndarray, d: np.ndarray, t: np.ndarray,
                    for s, e in zip(bstarts.tolist(), bends.tolist())]
         dls_enc = [b"V" + l_mv[l_off[s]:l_off[e]].tobytes()
                    for s, e in zip(bstarts.tolist(), bends.tolist())]
+        if pg is not None:
+            p_stream, p_nb = varint_encode_stream(pg.astype(np.uint64))
+            p_off = np.concatenate(([0], np.cumsum(p_nb)))
+            p_mv = memoryview(p_stream)
+            pos_enc = [b"V" + p_mv[p_off[s]:p_off[e]].tobytes()
+                       for s, e in zip(pstarts.tolist(), pends.tolist())]
 
     max_tf = np.maximum.reduceat(t, bstarts)
     min_dl = np.minimum.reduceat(l, bstarts)
@@ -139,6 +157,7 @@ def _encode_rows(terms: np.ndarray, d: np.ndarray, t: np.ndarray,
         "docs_enc": docs_enc,
         "tfs_enc": tfs_enc,
         "dls_enc": dls_enc,
+        "pos_enc": pos_enc if pos_enc is not None else [None] * tot,
     })
 
 
@@ -148,6 +167,19 @@ def make_block_builder(cfg: EngineConfig):
     Arrow batches (the last run of each batch is carried into the next).
     Blocks never cross a chunk boundary so all terms' blocks align on the
     same doc-range grid (enables the one-shuffle AND intersection, D4)."""
+
+    use_pos = cfg.positions
+
+    def encode(part: pd.DataFrame) -> pd.DataFrame:
+        pg = None
+        if use_pos:
+            pg = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in part["pos_gaps"]])
+        return _encode_rows(
+            part["term"].to_numpy(),
+            part["doc_id"].to_numpy(dtype=np.int64),
+            part["tf"].to_numpy(dtype=np.int64),
+            part["dl"].to_numpy(dtype=np.int64), cfg, pg=pg)
 
     def builder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: Optional[pd.DataFrame] = None
@@ -164,17 +196,9 @@ def make_block_builder(cfg: EngineConfig):
             carry = pdf.iloc[last_start:]
             head = pdf.iloc[:last_start]
             if len(head):
-                yield _encode_rows(
-                    head["term"].to_numpy(),
-                    head["doc_id"].to_numpy(dtype=np.int64),
-                    head["tf"].to_numpy(dtype=np.int64),
-                    head["dl"].to_numpy(dtype=np.int64), cfg)
+                yield encode(head)
         if carry is not None and len(carry):
-            yield _encode_rows(
-                carry["term"].to_numpy(),
-                carry["doc_id"].to_numpy(dtype=np.int64),
-                carry["tf"].to_numpy(dtype=np.int64),
-                carry["dl"].to_numpy(dtype=np.int64), cfg)
+            yield encode(carry)
 
     return builder
 
@@ -360,11 +384,13 @@ def invert_and_write_segment(spark: SparkSession, p: IndexPaths, seg: int,
     else:
         tf2 = tf
         salt = F.lit(0)
+    cols = ["term", "doc_id", "tf", "dl"] + \
+        (["pos_gaps"] if cfg.positions else [])
     blocks = (
         tf2.withColumn("_salt", salt)
            .repartition(cfg.build_partitions, "term", "_salt")
            .sortWithinPartitions("term", "doc_id")
-           .select("term", "doc_id", "tf", "dl")
+           .select(*cols)
            .mapInPandas(make_block_builder(cfg), POSTINGS_SCHEMA)
     )
     CATALOG.write_table(blocks, p.postings_seg(seg), partition_by="bucket")
@@ -421,8 +447,9 @@ def _build_segment(spark: SparkSession, p: IndexPaths, seg: int,
                 .select("doc_id", "text"))
     if docs_df is None and docs_seg.rdd.getNumPartitions() < cfg.build_partitions:
         docs_seg = docs_seg.repartition(cfg.build_partitions)
-    tf = docs_seg.mapInPandas(make_tokenize_tf(cfg.stopwords),
-                              TOKENIZE_TF_SCHEMA)
+    tf = docs_seg.mapInPandas(
+        make_tokenize_tf(cfg.stopwords, positions=cfg.positions),
+        TOKENIZE_TF_SCHEMA)
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # salt doc-range bounds from phase-A metadata (no extra scan);

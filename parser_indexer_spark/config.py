@@ -51,6 +51,9 @@ class EngineConfig:
     stopwords: tuple = ()          # opt-in StopFilter analogue (C1 option)
     codec: str = "for"             # live posting-block codec: "for"|"varint"
     codec_version: str = ""        # derived from codec unless explicitly set
+    positions: bool = True         # store within-doc token positions
+                                   # (phrase/proximity queries, D-phrase;
+                                   # Lucene indexes positions by default)
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -89,6 +92,7 @@ class EngineConfig:
             "stopwords": list(self.stopwords),
             "codec": self.codec,
             "codec_version": self.codec_version,
+            "positions": self.positions,
         }
 
     @classmethod
@@ -96,7 +100,11 @@ class EngineConfig:
         known = {k: d[k] for k in (
             "n_buckets", "block_size", "chunk_bits", "build_partitions",
             "salt_df_threshold", "n_salts", "k1", "b",
-            "analyzer_version", "codec", "codec_version") if k in d}
+            "analyzer_version", "codec", "codec_version",
+            "positions") if k in d}
+        # indexes committed before the positional format carry no
+        # "positions" key and have no pos_enc column
+        known.setdefault("positions", "positions" in d)
         if "stopwords" in d:
             known["stopwords"] = tuple(d["stopwords"])
         return cls(**known)

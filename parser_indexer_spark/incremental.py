@@ -75,7 +75,8 @@ def append_segment(spark: SparkSession, root: str, batch: DataFrame,
         CATALOG.write_table(ids.withColumn("seg", F.lit(seg)), p.docs,
                             partition_by="seg", dynamic=True)
         tf = ids.select("doc_id", "text") \
-                .mapInPandas(make_tokenize_tf(cfg.stopwords),
+                .mapInPandas(make_tokenize_tf(cfg.stopwords,
+                                              positions=cfg.positions),
                              TOKENIZE_TF_SCHEMA)
         n_hot = invert_and_write_segment(spark, p, seg, cfg, tf,
                                          (base, int(max_id)))

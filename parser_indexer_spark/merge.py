@@ -37,22 +37,34 @@ from parser_indexer_spark.manifest import CATALOG, IndexPaths, now
 
 
 def _decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Posting blocks -> raw (doc_id, term, tf, dl) rows, vectorized."""
+    """Posting blocks -> raw (doc_id, term, tf, dl, pos_gaps) rows,
+    vectorized. Position payloads pass through as per-posting GAP arrays —
+    the re-inversion re-slices them into new blocks without ever
+    reconstructing absolute positions (gaps are within-doc, so they are
+    layout-independent)."""
     for pdf in batches:
         if pdf.empty:
             continue
-        ds, ts, ls, terms = [], [], [], []
+        ds, ts, ls, terms, pgs = [], [], [], [], []
         for r in pdf.itertuples():
             n = int(r.num_docs)
+            tf = decode(r.tfs_enc, n)
             ds.append(delta_decode(decode(r.docs_enc, n), int(r.first_doc_id)))
-            ts.append(decode(r.tfs_enc, n).astype(np.int32))
+            ts.append(tf.astype(np.int32))
             ls.append(decode(r.dls_enc, n).astype(np.int32))
             terms.append(np.full(n, r.term, dtype=object))
+            if r.pos_enc is not None:
+                npos = int(tf.sum())
+                gaps = decode(r.pos_enc, npos).astype(np.int32)
+                pgs.extend(np.split(gaps, np.cumsum(tf.astype(np.int64))[:-1]))
+            else:
+                pgs.extend([None] * n)
         yield pd.DataFrame({
             "doc_id": np.concatenate(ds).astype(np.int64),
             "term": np.concatenate(terms),
             "tf": np.concatenate(ts),
             "dl": np.concatenate(ls),
+            "pos_gaps": pgs,
         })
 
 
@@ -77,7 +89,7 @@ def merge_index(spark: SparkSession, src_root: str, dst_root: str,
 
     blocks = read_postings(spark, src_root)
     tf = blocks.select("term", "num_docs", "first_doc_id",
-                       "docs_enc", "tfs_enc", "dls_enc") \
+                       "docs_enc", "tfs_enc", "dls_enc", "pos_enc") \
                .mapInPandas(_decode_blocks, TOKENIZE_TF_SCHEMA)
     lo = min(s["doc_lo"] for s in src_manifest["segments"])
     hi = max(s["doc_hi"] for s in src_manifest["segments"])

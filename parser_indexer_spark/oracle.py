@@ -33,6 +33,7 @@ class OracleIndex:
         self.stopwords = tuple(stopwords)
         self.doc_ids = list(doc_ids)
         toks = [tokenize_py(t, self.stopwords) for t in texts]
+        self.toks = {d: tk for d, tk in zip(self.doc_ids, toks)}
         self.n_docs = len(self.doc_ids)
         self.dl = {d: len(tk) for d, tk in zip(self.doc_ids, toks)}
         self.sum_dl = sum(self.dl.values())
@@ -99,3 +100,36 @@ class OracleIndex:
                 np.add.at(total, sel_docs, contrib)
         order = np.lexsort((docs, -total))[:k]
         return [(int(docs[i]), float(total[i])) for i in order]
+
+    def phrase(self, query: str, k: int = 10, slop: int = 0):
+        """Phrase / chained-gap proximity oracle mirroring Index.phrase:
+        phrase_tf = number of start positions p_0 with positions
+        p_0 < p_1 < ... (one per phrase term, in order) and every adjacent
+        gap in [1, slop+1]; score = idf_sum * tf_norm(phrase_tf, dl).
+        Brute-force per-doc scan (oracle code only)."""
+        toks_q = tokenize_py(query, self.stopwords)
+        if not toks_q:
+            return []
+        uniq = sorted(set(toks_q))
+        if any(self.df.get(t, 0) == 0 for t in uniq):
+            return []
+        if len(toks_q) == 1:
+            return self.search(query, k)
+        idf_sum = sum(self.idf(t) for t in toks_q)
+        hits = []
+        for d in self.doc_ids:
+            tk = self.toks[d]
+            S = {i for i, w in enumerate(tk) if w == toks_q[-1]}
+            for qi in range(len(toks_q) - 2, -1, -1):
+                S = {i for i, w in enumerate(tk) if w == toks_q[qi]
+                     and any((i + g) in S for g in range(1, slop + 2))}
+                if not S:
+                    break
+            ptf = len(S)
+            if ptf:
+                dl = self.dl[d]
+                score = idf_sum * ptf / (ptf + self.k1 * (
+                    1.0 - self.b + self.b * dl / self.avg_dl))
+                hits.append((d, score))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return [(int(d), float(s)) for d, s in hits[:k]]

@@ -161,37 +161,10 @@ class Index:
         # allowed doc_id set, sorted), so heap truncation + WAND keep
         # bounding the candidate set; only a huge filter side falls back to
         # scoring everything and semi-joining after (VERDICT r1 #1).
-        truncate = True
-        allowed_bc = None
-        allowed_df = None
-        if doc_filter is not None:
-            allowed_df = (read_docs(spark, self.root)
-                          .where(doc_filter).select("doc_id"))
-            if doc_filter in self._filter_bc:
-                allowed_bc = self._filter_bc[doc_filter]
-                if allowed_bc is None:      # cached "too big" verdict
-                    truncate = False
-                elif allowed_bc.value.size == 0:
-                    return empty
-            else:
-                # Arrow collection (ADVICE r2): single-column toPandas
-                # avoids per-row Python Row objects on the driver
-                head = (allowed_df.limit(FILTER_BROADCAST_LIMIT + 1)
-                        .toPandas()["doc_id"]
-                        .to_numpy(dtype=np.int64))
-                if head.size <= FILTER_BROADCAST_LIMIT:
-                    arr = np.sort(head)
-                    allowed_bc = spark.sparkContext.broadcast(arr)
-                else:
-                    allowed_bc = None
-                    truncate = False
-                if len(self._filter_bc) >= self._filter_bc_max:
-                    _, old = self._filter_bc.popitem()
-                    if old is not None:
-                        old.destroy()
-                self._filter_bc[doc_filter] = allowed_bc
-                if allowed_bc is not None and arr.size == 0:
-                    return empty
+        allowed_bc, allowed_df, truncate, is_empty = \
+            self._resolve_filter(doc_filter)
+        if is_empty:
+            return empty
         # scoring width grows with THIS QUERY's posting volume (VERDICT r1
         # #2): ~512 blocks per task, estimated from the terms' dfs — NOT
         # from total index size (total-blocks sizing gave a 4M-turn index
@@ -220,6 +193,122 @@ class Index:
         if doc_filter is not None and allowed_bc is None:
             cand = cand.join(allowed_df, "doc_id", "left_semi")
         return cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # ----------------------------------------------------------- phrase ---
+    def phrase(self, query: str, k: int = 10, slop: int = 0,
+               doc_filter: Optional[str] = None, prune: bool = True,
+               score_partitions: Optional[int] = None,
+               after: Optional[tuple] = None) -> DataFrame:
+        """Top-k phrase / ordered-proximity query over positional postings
+        (D-phrase) [public: Lucene PhraseQuery / SloppyPhraseScorer].
+
+        Semantics: a doc matches if its token stream contains positions
+        p_0 < p_1 < ... < p_{m-1}, one per phrase term IN ORDER, with every
+        adjacent gap p_{i+1} - p_i in [1, slop + 1]. slop=0 is the exact
+        phrase. (Documented deviation from Lucene: slop bounds each
+        adjacent gap — "chained gaps" — rather than the total permutation
+        edit distance; out-of-order matches never count.)
+
+        Scoring [public: Lucene PhraseQuery scoring]: the phrase acts as
+        one pseudo-term — score = (sum of idf over phrase terms, duplicates
+        counted) * tf_norm(phrase_tf, dl), where phrase_tf is the number of
+        chain START positions with a full match.
+
+        Execution = the same one-shuffle chunk-grid plan as search():
+        partition pruning + term pushdown -> repartition(chunk) ->
+        mapInPandas positional scorer (vectorized key-set chain
+        intersection, no per-posting Python) -> TakeOrderedAndProject.
+        Block-max WAND stays active: phrase_tf <= min over terms of
+        max_tf, so idf_sum * tf_norm(min_t max_tf_t, min dl) is a lossless
+        chunk upper bound.
+        """
+        if not self.cfg.positions:
+            raise ValueError(
+                "index was built with positions=False; phrase queries "
+                "need positional postings")
+        toks = tokenize_py(query, self.cfg.stopwords)
+        spark = self.spark
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not toks:
+            return empty
+        uniq = sorted(set(toks))
+        dfs = self.term_stats(uniq)
+        # a phrase containing an index-absent term matches nothing
+        if any(dfs[t] == 0 for t in uniq):
+            return empty
+        if len(toks) == 1:
+            # single-term phrase == single-term BM25 (phrase_tf == tf)
+            return self.search(query, k=k, doc_filter=doc_filter,
+                               prune=prune,
+                               score_partitions=score_partitions,
+                               after=after)
+        n_docs = self.stats["n_docs"]
+        idf = {t: bm25_idf(n_docs, dfs[t]) for t in uniq}
+        idf_sum = float(sum(idf[t] for t in toks))
+
+        buckets = sorted({term_bucket(t, self.cfg.n_buckets) for t in uniq})
+        blocks = (
+            self._postings_df
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(uniq))
+            .select("term", "chunk", "first_doc_id", "num_docs",
+                    "max_tf", "min_dl", "docs_enc", "tfs_enc", "dls_enc",
+                    "pos_enc")
+        )
+        allowed_bc, allowed_df, truncate, is_empty = \
+            self._resolve_filter(doc_filter)
+        if is_empty:
+            return empty
+        # candidate volume is bounded by the rarest term's postings
+        q_blocks = min(dfs[t] for t in uniq) // max(1, self.cfg.block_size)
+        np_parts = score_partitions or min(
+            256, max(4, len(buckets) * 2, q_blocks // 512))
+        scorer = _make_phrase_scorer(
+            phrase_terms=list(toks), idf_sum=idf_sum, k1=self.cfg.k1,
+            b=self.cfg.b, avg_dl=self.stats["avg_dl"], k=k, slop=slop,
+            prune=prune and truncate, truncate=truncate,
+            chunk_bits=self.cfg.chunk_bits, allowed_bc=allowed_bc,
+            after=after)
+        cand = (
+            blocks.repartition(np_parts, "chunk")
+                  .sortWithinPartitions("chunk")
+                  .mapInPandas(scorer, "doc_id long, score double")
+        )
+        if doc_filter is not None and allowed_bc is None:
+            cand = cand.join(allowed_df, "doc_id", "left_semi")
+        return cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _resolve_filter(self, doc_filter: Optional[str]):
+        """doc_filter -> (allowed_bc, allowed_df, truncate, is_empty).
+        Selective filters become a cached broadcast sorted-int64 set (Arrow
+        collection, no driver Row objects — ADVICE r2); oversized ones
+        return allowed_bc=None + truncate=False (semi-join fallback)."""
+        if doc_filter is None:
+            return None, None, True, False
+        spark = self.spark
+        allowed_df = (read_docs(spark, self.root)
+                      .where(doc_filter).select("doc_id"))
+        if doc_filter in self._filter_bc:
+            allowed_bc = self._filter_bc[doc_filter]
+            if allowed_bc is None:          # cached "too big" verdict
+                return None, allowed_df, False, False
+            return (allowed_bc, allowed_df, True,
+                    allowed_bc.value.size == 0)
+        head = (allowed_df.limit(FILTER_BROADCAST_LIMIT + 1)
+                .toPandas()["doc_id"].to_numpy(dtype=np.int64))
+        if head.size <= FILTER_BROADCAST_LIMIT:
+            arr = np.sort(head)
+            allowed_bc = spark.sparkContext.broadcast(arr)
+        else:
+            allowed_bc = None
+        if len(self._filter_bc) >= self._filter_bc_max:
+            _, old = self._filter_bc.popitem()
+            if old is not None:
+                old.destroy()
+        self._filter_bc[doc_filter] = allowed_bc
+        if allowed_bc is None:
+            return None, allowed_df, False, False
+        return allowed_bc, allowed_df, True, head.size == 0
 
     def _seed_theta(self, blocks: DataFrame, terms, idf, avg_dl, k,
                     mode) -> float:
@@ -279,6 +368,56 @@ class Index:
                 lo, hi = max(0, pos - window), pos + window + 1
                 frag = [f"<mark>{t}</mark>" if t in terms else t
                         for t in toks[lo:hi]]
+                out.append(("... " if lo else "") + " ".join(frag)
+                           + (" ..." if hi < len(toks) else ""))
+            return pd.Series(out)
+
+        return hits.withColumn("snippet", snip(F.col("text")))
+
+    def highlight_phrase(self, query: str, k: int = 10, slop: int = 0,
+                         window: int = 5, **kw) -> DataFrame:
+        """D13 phrase highlighting: top-k phrase hits + a snippet marking
+        the FULL first matching phrase span (every token of the chain gets
+        <mark>). Pandas UDF over the k fetched rows only."""
+        toks_q = tokenize_py(query, self.cfg.stopwords)
+        hits = self.fetch(self.phrase(query, k=k, slop=slop, **kw))
+        m = len(toks_q)
+
+        def first_chain(toks):
+            """-> list of matched positions of the first phrase chain, or
+            None. Backward S_i sets (same semantics as the scorer), then a
+            forward walk from the smallest valid start."""
+            sets = [None] * m
+            sets[-1] = {i for i, w in enumerate(toks) if w == toks_q[-1]}
+            for qi in range(m - 2, -1, -1):
+                nxt = sets[qi + 1]
+                sets[qi] = {i for i, w in enumerate(toks) if w == toks_q[qi]
+                            and any((i + g) in nxt
+                                    for g in range(1, slop + 2))}
+                if not sets[qi]:
+                    return None
+            if not sets[-1]:
+                return None
+            span = [min(sets[0])]
+            for qi in range(1, m):
+                span.append(min(p for p in sets[qi]
+                                if 1 <= p - span[-1] <= slop + 1))
+            return span
+
+        @F.pandas_udf("string")
+        def snip(texts: pd.Series) -> pd.Series:
+            out = []
+            for text in texts:
+                toks = tokenize_py(text or "")
+                span = first_chain(toks) if toks else None
+                if span is None:
+                    out.append("")
+                    continue
+                lo = max(0, span[0] - window)
+                hi = min(len(toks), span[-1] + window + 1)
+                marked = set(span)
+                frag = [f"<mark>{t}</mark>" if i in marked else t
+                        for i, t in enumerate(toks[lo:hi], start=lo)]
                 out.append(("... " if lo else "") + " ".join(frag)
                            + (" ..." if hi < len(toks) else ""))
             return pd.Series(out)
@@ -415,6 +554,176 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
         chunk of each batch is carried into the next — peak memory is one
         chunk's blocks plus one Arrow batch, flat in the index size. θ
         improves monotonically for WAND as chunks ascend."""
+        if truncate:
+            hd = np.empty(0, dtype=np.int64)
+            hs = np.empty(0, dtype=np.float64)
+        else:
+            hd, hs = [], []
+        carry: Optional[pd.DataFrame] = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            chunks = pdf["chunk"].to_numpy()
+            last_start = int(np.flatnonzero(chunks != chunks[-1]).max() + 1) \
+                if chunks[0] != chunks[-1] else 0
+            carry = pdf.iloc[last_start:]
+            head = pdf.iloc[:last_start]
+            for _, rows in head.groupby("chunk", sort=True):
+                hd, hs = score_chunk(rows, hd, hs)
+        if carry is not None and len(carry):
+            for _, rows in carry.groupby("chunk", sort=True):
+                hd, hs = score_chunk(rows, hd, hs)
+        if truncate:
+            out_d, out_s = hd, hs
+        else:
+            out_d = np.concatenate(hd) if hd else np.empty(0, np.int64)
+            out_s = np.concatenate(hs) if hs else np.empty(0, np.float64)
+        yield pd.DataFrame({"doc_id": out_d.astype(np.int64),
+                            "score": out_s.astype(np.float64)})
+
+    return scorer
+
+
+# ---------------------------------------------------------------- phrase ---
+
+# positions are packed with doc_ids into int64 keys: key = (doc << _POS_BITS)
+# | pos. Docs up to 2^41 and 4M tokens/doc — enforced at decode time.
+_POS_BITS = 22
+_POS_LIMIT = 1 << _POS_BITS
+
+
+def _decode_positions(pos_enc: bytes, tf: np.ndarray) -> np.ndarray:
+    """One block's position payload -> flat ABSOLUTE positions (int64),
+    tf[i] values per posting i. Gaps are within-doc deltas (first absolute),
+    so decode = cumsum with a per-posting base reset (vectorized)."""
+    npos = int(tf.sum())
+    gaps = decode(pos_enc, npos).astype(np.int64)
+    cum = np.cumsum(gaps)
+    starts = np.concatenate(([0], np.cumsum(tf)[:-1])).astype(np.int64)
+    base = cum[starts] - gaps[starts]
+    out = cum - np.repeat(base, tf)
+    if out.size and int(out.max()) >= _POS_LIMIT:
+        raise ValueError(f"token position >= {_POS_LIMIT} unsupported "
+                         "by phrase keys")
+    return out
+
+
+def _merge_topk(heap_docs, heap_scores, docs, scores, k):
+    """Merge candidates into the running top-k, (score desc, doc_id asc)."""
+    cd = np.concatenate([heap_docs, docs]) if len(heap_docs) else docs
+    cs = np.concatenate([heap_scores, scores]) if len(heap_scores) else scores
+    order = np.lexsort((cd, -cs))[:k]
+    return cd[order], cs[order]
+
+
+def _make_phrase_scorer(phrase_terms, idf_sum, k1, b, avg_dl, k, slop,
+                        prune, truncate, chunk_bits, allowed_bc=None,
+                        after=None):
+    """mapInPandas positional scorer: same chunk-streaming carry pattern as
+    _make_scorer; inside a chunk the phrase is matched by a BACKWARD key-set
+    chain — S_i = positions of term i that start a valid suffix chain —
+    using only np.isin on (doc << _POS_BITS | pos) keys, so the cost is
+    O(total positions of the query terms in the chunk), no per-doc Python."""
+    uniq = sorted(set(phrase_terms))
+    m = len(phrase_terms)
+    deltas = list(range(1, slop + 2))
+
+    def tf_norm(tf, dl):
+        return tf / (tf + k1 * (1.0 - b + b * dl / avg_dl))
+
+    def score_chunk(rows: pd.DataFrame, heap_docs, heap_scores):
+        present = pd.unique(rows["term"].to_numpy())
+        if len(present) < len(uniq):
+            return heap_docs, heap_scores  # a required term is absent
+        theta = heap_scores[-1] if truncate and len(heap_scores) == k else None
+        if prune and theta is not None:
+            # lossless ub: phrase_tf <= min_t tf_t(d) <= min_t max(max_tf)
+            mtf, mdl = np.inf, np.inf
+            tarr = rows["term"].to_numpy()
+            for t in uniq:
+                sel = rows[tarr == t]
+                mtf = min(mtf, float(sel["max_tf"].max()))
+                mdl = min(mdl, float(sel["min_dl"].min()))
+            ub = idf_sum * tf_norm(mtf, mdl)
+            if ub < theta - _PRUNE_EPS * max(1.0, abs(theta)):
+                return heap_docs, heap_scores
+
+        # decode each unique term: doc/tf/dl arrays + positional keys
+        per_term = {}
+        tarr = rows["term"].to_numpy()
+        for t in uniq:
+            sel = rows[tarr == t]
+            ds, tfs_, ls, keys = [], [], [], []
+            for r in sel.itertuples():
+                n = int(r.num_docs)
+                d = delta_decode(decode(r.docs_enc, n), int(r.first_doc_id))
+                tf = decode(r.tfs_enc, n).astype(np.int64)
+                pos = _decode_positions(r.pos_enc, tf)
+                ds.append(d)
+                tfs_.append(tf)
+                ls.append(decode(r.dls_enc, n).astype(np.float64))
+                keys.append((np.repeat(d, tf) << _POS_BITS) | pos)
+            per_term[t] = (np.concatenate(ds), np.concatenate(ls),
+                           np.concatenate(keys))
+
+        # AND pre-filter: docs containing every unique term
+        common = None
+        for t in uniq:
+            d = np.sort(per_term[t][0])
+            common = d if common is None else \
+                common[np.isin(common, d, assume_unique=True)]
+            if common.size == 0:
+                return heap_docs, heap_scores
+        if allowed_bc is not None:
+            allowed = allowed_bc.value
+            pos_i = np.searchsorted(allowed, common)
+            pos_c = np.minimum(pos_i, allowed.size - 1)
+            common = common[allowed[pos_c] == common]
+            if common.size == 0:
+                return heap_docs, heap_scores
+
+        def term_keys(t):
+            ks = per_term[t][2]
+            return ks[np.isin(ks >> _POS_BITS, common)]
+
+        # backward chain: S holds key positions of phrase_terms[i] that
+        # start a valid chain through the phrase suffix
+        S = term_keys(phrase_terms[-1])
+        for i in range(m - 2, -1, -1):
+            q = term_keys(phrase_terms[i])
+            if q.size == 0 or S.size == 0:
+                return heap_docs, heap_scores
+            match = np.zeros(q.size, dtype=bool)
+            for dlt in deltas:
+                match |= np.isin(q + dlt, S)
+            S = q[match]
+        if S.size == 0:
+            return heap_docs, heap_scores
+
+        docs_out, ptf = np.unique(S >> _POS_BITS, return_counts=True)
+        # dl lookup from any term's decoded run (all matching docs have it)
+        d0, dl0, _ = per_term[uniq[0]]
+        o = np.argsort(d0)
+        dl_m = dl0[o][np.searchsorted(d0[o], docs_out)]
+        scores_out = idf_sum * tf_norm(ptf.astype(np.float64), dl_m)
+
+        if after is not None:
+            a_s, a_d = float(after[0]), int(after[1])
+            keep = (scores_out < a_s) | \
+                   ((scores_out == a_s) & (docs_out > a_d))
+            docs_out, scores_out = docs_out[keep], scores_out[keep]
+            if docs_out.size == 0:
+                return heap_docs, heap_scores
+        if not truncate:
+            heap_docs.append(docs_out)
+            heap_scores.append(scores_out)
+            return heap_docs, heap_scores
+        return _merge_topk(heap_docs, heap_scores, docs_out, scores_out, k)
+
+    def scorer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if truncate:
             hd = np.empty(0, dtype=np.int64)
             hs = np.empty(0, dtype=np.float64)
