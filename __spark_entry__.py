@@ -551,9 +551,15 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sig
               UNION ALL SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sig
             ),
+            small AS (
+              SELECT band, bh FROM bands
+              GROUP BY band, bh HAVING count(*) <= 1000
+            ),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
+              FROM bands a
+              JOIN small s ON s.band = a.band AND s.bh = a.bh
+              JOIN bands b
                 ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
             ),
             sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

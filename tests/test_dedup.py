@@ -77,3 +77,46 @@ def test_threshold_is_respected(spark):
     strict = near_dup_pairs(d, threshold=0.95).collect()
     got = {(r["doc_a"], r["doc_b"]) for r in strict}
     assert got == {(0, 1)}  # only the exact duplicate survives 0.95
+
+
+def test_bucket_cap_bounds_adversarial_candidates(spark):
+    """VERDICT r2 #2: a degenerate bucket (1k identical docs) is dropped
+    by the max_bucket cap — candidate generation stays bounded instead of
+    going quadratic — while genuinely-similar pairs in small buckets are
+    still found, and the dropped buckets are observable via the audit."""
+    from parser_indexer_spark.relops import (lsh_oversized_buckets,
+                                             simhash_band_candidates)
+
+    clones = [(i, BASE) for i in range(1000)]          # one hot bucket
+    planted = [(2000, "alpha beta gamma delta epsilon zeta eta theta iota "
+                      "kappa lambda mu nu xi omicron pi rho sigma tau"),
+               (2001, "alpha beta gamma delta epsilon zeta eta theta iota "
+                      "kappa lambda mu nu xi omicron pi rho sigma upsilon")]
+    d = spark.createDataFrame(clones + planted, "doc_id long, text string")
+
+    got = near_dup_pairs(d, threshold=0.5, max_bucket=100).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    # the 1000-clone bucket would emit ~500k pairs uncapped; capped => none
+    assert pairs == {(2000, 2001)}
+
+    audit = lsh_oversized_buckets(d, max_bucket=100).collect()
+    assert len(audit) == 4                      # all 4 bands of the clones
+    assert all(r["size"] == 1000 for r in audit)
+
+    # uncapped control on a small clone set: cap leaves small buckets alone
+    small = [(i, BASE) for i in range(5)] + planted
+    ds = spark.createDataFrame(small, "doc_id long, text string")
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in near_dup_pairs(ds, max_bucket=100).collect()}
+    uncapped = {(r["doc_a"], r["doc_b"])
+                for r in near_dup_pairs(ds, max_bucket=10 ** 9).collect()}
+    assert capped == uncapped
+
+    # simhash band candidates: same cap semantics — the 1000-clone band
+    # buckets are dropped, while an exact duplicate pair in a 2-member
+    # bucket survives (identical docs => identical bands, size-2 bucket)
+    twins = [(3000, planted[0][1]), (3001, planted[0][1])]
+    d2 = spark.createDataFrame(clones + twins, "doc_id long, text string")
+    sb = {(r["doc_a"], r["doc_b"])
+          for r in simhash_band_candidates(d2, max_bucket=100).collect()}
+    assert sb == {(3000, 3001)}
