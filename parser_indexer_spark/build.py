@@ -317,7 +317,7 @@ def build_index(
 
 
 def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
-                   docs_meta: dict, seg_count: int, input_desc: str,
+                   docs_meta: dict, segments, input_desc: str,
                    t0: float) -> dict:
     """Phase C (C7/C9/C12): dict + stats from the committed segments, then
     the manifest written LAST = the atomic snapshot commit.
@@ -326,12 +326,17 @@ def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
     per-segment dict tables (df/cf are additive over segments) — no
     committed posting block is re-read, so appending a small segment to a
     huge index costs the new segment plus a vocabulary-sized agg
-    (VERDICT r2 #1; tested by removing old postings before an append)."""
+    (VERDICT r2 #1; tested by removing old postings before an append).
+
+    ``segments``: int n (live segs = 0..n-1, the fresh-build/append path)
+    or an explicit list of live segment ids (tiered compaction leaves
+    non-contiguous ids — merge.py compact_segments)."""
     p = IndexPaths(out_dir)
-    seg_rows = [CATALOG.read_meta(p.segment_manifest(s))
-                for s in range(seg_count)]
+    segs = list(range(segments)) if isinstance(segments, int) else \
+        sorted(segments)
+    seg_rows = [CATALOG.read_meta(p.segment_manifest(s)) for s in segs]
     seg_dicts = CATALOG.read_table(
-        spark, *[p.dict_seg(s) for s in range(seg_count)],
+        spark, *[p.dict_seg(s) for s in segs],
         base_path=p.dict_segs)
     CATALOG.write_table(
         seg_dicts.groupBy("term")
@@ -358,7 +363,7 @@ def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
         "format": "parser-indexer-spark/v1",
         "config": cfg.to_dict(),
         "input": input_desc,
-        "n_segments": seg_count,
+        "n_segments": len(segs),
         "stats": stats,
         "segments": seg_rows,
         "wall_sec_total": now() - t0,

@@ -90,7 +90,13 @@ def append_segment(spark: SparkSession, root: str, batch: DataFrame,
     if batch_id is not None:
         meta["last_batch_id"] = int(batch_id)
     CATALOG.write_meta(p.docs_marker, meta)
-    return finalize_index(spark, root, cfg, meta, seg + 1,
+    # live set = the committed manifest's segments + the new one (ids can
+    # be non-contiguous after tiered compaction, so never range(n))
+    if CATALOG.meta_exists(p.manifest):
+        live = [s["seg"] for s in CATALOG.load_snapshot(root)["segments"]]
+    else:
+        live = list(range(seg))
+    return finalize_index(spark, root, cfg, meta, live + [seg],
                           input_desc=input_desc or f"append seg {seg}", t0=t0)
 
 

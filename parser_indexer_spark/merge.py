@@ -101,3 +101,79 @@ def merge_index(spark: SparkSession, src_root: str, dst_root: str,
                                          f"({src_manifest['n_segments']} segments)",
                               t0=t0)
     return manifest
+
+
+# ------------------------------------------------- tiered merge policy ---
+
+def select_merges(root: str, ratio: float = 2.0, min_run: int = 2,
+                  max_run: int = 8) -> list[list[int]]:
+    """Tiered merge selection [public: Lucene TieredMergePolicy]: group
+    size-sorted live segments into runs where every member is within
+    ``ratio`` of the run's smallest segment (by n_postings), runs capped at
+    ``max_run``. Only size-similar segments merge, so total merge I/O over
+    an index's lifetime amortizes to O(n log n) instead of the O(n^2) that
+    always-full recompaction (merge_index) costs under streaming appends.
+    Returns a list of segment-id lists, each a candidate compaction."""
+    man = CATALOG.load_snapshot(root)
+    rows = sorted(man["segments"], key=lambda s: (s["n_postings"], s["seg"]))
+    runs: list[list[int]] = []
+    cur: list[dict] = []
+    for s in rows:
+        if cur and s["n_postings"] <= ratio * max(1, cur[0]["n_postings"]) \
+                and len(cur) < max_run:
+            cur.append(s)
+        else:
+            if len(cur) >= min_run:
+                runs.append([x["seg"] for x in cur])
+            cur = [s]
+    if len(cur) >= min_run:
+        runs.append([x["seg"] for x in cur])
+    return runs
+
+
+def compact_segments(spark: SparkSession, root: str, segs: list[int],
+                     cfg: EngineConfig | None = None) -> dict:
+    """Compact ONLY ``segs`` (a select_merges run) into one new segment,
+    IN PLACE: decode just those segments' blocks, re-invert into segment id
+    max+1, recommit the manifest over the surviving segment set, then drop
+    the merged segments' files. Untouched segments are never read — their
+    posting files, per-segment dicts, and manifest rows are reused as-is
+    (asserted by tests/test_merge.py's mtime check).
+
+    Crash safety: the new segment is written and its manifest row committed
+    BEFORE the snapshot recommit (a replay overwrites it idempotently), and
+    old segment dirs are removed only AFTER the new _manifest.json no
+    longer references them — readers always see a consistent snapshot."""
+    t0 = now()
+    man = CATALOG.load_snapshot(root)
+    cfg = cfg or EngineConfig.from_dict(man["config"])
+    p = IndexPaths(root)
+    live = {s["seg"]: s for s in man["segments"]}
+    segs = sorted(segs)
+    if len(segs) < 2 or any(s not in live for s in segs):
+        raise ValueError(f"compaction run {segs} not within live segments "
+                         f"{sorted(live)}")
+    meta = CATALOG.read_meta(p.docs_marker)
+    new_seg = max(max(live), int(meta["segments"]) - 1) + 1
+
+    blocks = read_postings(spark, root, segs=segs)
+    tf = blocks.select("term", "num_docs", "first_doc_id",
+                       "docs_enc", "tfs_enc", "dls_enc", "pos_enc") \
+               .mapInPandas(_decode_blocks, TOKENIZE_TF_SCHEMA)
+    lo = min(live[s]["doc_lo"] for s in segs)
+    hi = max(live[s]["doc_hi"] for s in segs)
+    n_hot = invert_and_write_segment(spark, p, new_seg, cfg, tf, (lo, hi))
+    write_segment_manifest(spark, p, new_seg, cfg, n_hot, t0)
+
+    # allocation watermark: future appends start above the compacted id
+    meta["segments"] = new_seg + 1
+    CATALOG.write_meta(p.docs_marker, meta)
+    survivors = [s for s in live if s not in set(segs)] + [new_seg]
+    manifest = finalize_index(
+        spark, root, cfg, meta, survivors,
+        input_desc=f"tiered compaction of segs {segs} -> {new_seg}", t0=t0)
+    for s in segs:  # only after the commit stopped referencing them
+        shutil.rmtree(p.postings_seg(s), ignore_errors=True)
+        shutil.rmtree(p.dict_seg(s), ignore_errors=True)
+        os.remove(p.segment_manifest(s))
+    return manifest

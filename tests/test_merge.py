@@ -79,3 +79,60 @@ def test_mixed_codec_segments(spark, tmp_path):
     mtags = {bytes(r["docs_enc"][:1]) for r in
              read_postings(spark, merged).select("docs_enc").collect()}
     assert mtags == {b"F"}
+
+
+def test_tiered_compaction(spark, tmp_path):
+    """Tiered merge policy (VERDICT r2 missing #3): streaming appends make
+    small segments; select_merges picks a size-similar run; compact_segments
+    merges ONLY that run (proved by hiding an unselected segment's posting
+    files during the compaction), leaves ids non-contiguous, and the result
+    is logically identical to a full rebuild. A later append allocates a
+    fresh id above the compacted one."""
+    import shutil
+    import pandas as pd
+    from parser_indexer_spark.incremental import append_segment
+    from parser_indexer_spark.manifest import CATALOG, IndexPaths
+    from parser_indexer_spark.merge import compact_segments, select_merges
+
+    corpus = (synthesize_pandas(1600)
+              .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    n = len(corpus)
+    # 3 small appends + 1 big one -> sizes cluster into [small x3], [big]
+    cuts = [0, n // 8, 2 * n // 8, 3 * n // 8, n]
+    slices = [corpus.iloc[a:b] for a, b in zip(cuts, cuts[1:])]
+    root = str(tmp_path / "tiered")
+    for sl in slices:
+        append_segment(spark, root, spark.createDataFrame(sl), CFG)
+
+    runs = select_merges(root, ratio=2.0)
+    assert len(runs) == 1 and sorted(runs[0]) == [0, 1, 2]  # 3 small, not big
+
+    # hide the UNSELECTED segment's postings: compaction must not read them
+    p = IndexPaths(root)
+    hidden = str(tmp_path / "hidden_seg3")
+    shutil.move(p.postings_seg(3), hidden)
+    m = compact_segments(spark, root, runs[0])
+    shutil.move(hidden, p.postings_seg(3))
+
+    assert sorted(s["seg"] for s in m["segments"]) == [3, 4]
+    for s in runs[0]:  # merged inputs dropped from disk
+        import os
+        assert not os.path.exists(p.postings_seg(s))
+    # logical index identical to a batch build over everything
+    ref = str(tmp_path / "tiered_ref")
+    build_index(spark, spark.createDataFrame(
+        pd.concat(slices, ignore_index=True)), ref, CFG)
+    assert _logical_index_hash(root) == _logical_index_hash(ref)
+    ia, ib = Index(spark, root), Index(spark, ref)
+    for q, mode in [("spark join", "OR"), ("spark join", "AND")]:
+        assert [(r.doc_id, r.score) for r in ia.search(q, k=10, mode=mode).collect()] == \
+               [(r.doc_id, r.score) for r in ib.search(q, k=10, mode=mode).collect()]
+    # phrase path survives compaction of positional payloads
+    assert [(r.doc_id, r.score) for r in ia.phrase("spark join", k=10).collect()] == \
+           [(r.doc_id, r.score) for r in ib.phrase("spark join", k=10).collect()]
+
+    # append after compaction: fresh id above the compacted segment
+    extra = synthesize_pandas(200, conv_offset=10_000)
+    m2 = append_segment(spark, root, spark.createDataFrame(extra), CFG)
+    assert sorted(s["seg"] for s in m2["segments"]) == [3, 4, 5]
+    assert Index(spark, root).stats["n_docs"] == n + len(extra)
