@@ -49,7 +49,9 @@ def _documents_index(spark: SparkSession, sf_dir: str,
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cfg = EngineConfig(n_buckets=8, build_partitions=16,
                        salt_df_threshold=100_000, n_salts=4, chunk_bits=12,
-                       stopwords=_STOP_LIST if variant == "stop" else ())
+                       stopwords=_STOP_LIST if variant == "stop" else (),
+                       fields=(("source", "lang") if variant == "fielded"
+                               else ()))
     build_index(spark, docs, out, cfg, segments=1, doc_id_col="doc_id",
                 input_desc=f"{sf_dir}/documents.parquet")
     return Index(spark, out)
@@ -82,6 +84,18 @@ def topk_bm25_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same stop list."""
     ix = _documents_index(spark, sf_dir, variant="stop")
     top = ix.search("the fast spark join", k=_FLAGSHIP_K, mode="OR")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def topk_bm25_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field search with boosts (Solr qf analogue): text:(spark
+    join) + source:src7^2.0 + lang:en^0.5 over an index built with
+    fields=(source, lang); fielded postings carry per-field dl/avgdl."""
+    ix = _documents_index(spark, sf_dir, variant="fielded")
+    top = ix.search_fields({"text": "spark join", "source": "src7",
+                            "lang": "en"},
+                           boosts={"source": 2.0, "lang": 0.5},
+                           k=_FLAGSHIP_K)
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -176,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_bm25_stop": topk_bm25_stop,
         "topk_phrase": topk_phrase,
         "topk_phrase_slop": topk_phrase_slop,
+        "topk_bm25_fielded": topk_bm25_fielded,
         "term_dict_stats": term_dict_stats,
         # relational coverage (SURVEY.md §2.E)
         "project_filter": relops.project_filter,
@@ -295,6 +310,59 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def _fielded_sql(k: int) -> str:
+    """DuckDB mirror of topk_bm25_fielded: text BM25 legs + fielded legs
+    with tf=1, dl=1, avgdl_field=1 (single-token fields) => tf_norm =
+    1/(1+k1); boost folds into the idf weight."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl) AS sum_dl
+),
+qterms AS (SELECT unnest(['join', 'spark']) AS term),
+tfs AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+textscore AS (
+  SELECT t.doc_id,
+         sum( ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                        / (st.sum_dl * 1.0 / st.n_docs))) ) AS ts
+  FROM tfs t JOIN dfs d USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY t.doc_id
+),
+fst AS (
+  SELECT (SELECT count(*) FROM documents WHERE source = 'src7') AS df_src,
+         (SELECT count(*) FROM documents WHERE lang = 'en') AS df_lang,
+         (SELECT count(*) FROM documents) AS n_docs
+),
+fieldscore AS (
+  SELECT doc_id,
+         (CASE WHEN source = 'src7' THEN
+            2.0 * ln(1 + (n_docs - df_src + 0.5) / (df_src + 0.5))
+                * (1.0 / (1.0 + 1.2)) ELSE 0 END)
+       + (CASE WHEN lang = 'en' THEN
+            0.5 * ln(1 + (n_docs - df_lang + 0.5) / (df_lang + 0.5))
+                * (1.0 / (1.0 + 1.2)) ELSE 0 END) AS fs,
+         (source = 'src7' OR lang = 'en') AS fmatch
+  FROM documents CROSS JOIN fst
+)
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT coalesce(t.doc_id, f.doc_id) AS doc_id,
+         coalesce(ts, 0) + coalesce(fs, 0) AS score
+  FROM textscore t
+  FULL JOIN (SELECT doc_id, fs FROM fieldscore WHERE fmatch) f
+    ON t.doc_id = f.doc_id
+) ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def _mlt_sql(k: int) -> str:
     """DuckDB MLT oracle: BM25 over doc 0's 5 rarest terms (df asc, term
     asc), top-k page computed first, source doc excluded after — mirrors
@@ -388,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
                                     stop=_STOP_LIST),
         "topk_phrase": _phrase_sql("spark", "join", 0, _FLAGSHIP_K),
         "topk_phrase_slop": _phrase_sql("filter", "window", 2, _FLAGSHIP_K),
+        "topk_bm25_fielded": _fielded_sql(_FLAGSHIP_K),
         "term_dict_stats": f"""
             SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM (
               SELECT doc_id, term, count(*) AS tf

@@ -60,6 +60,26 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
+def tokenize_with_fields(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """C1+C2 over the text column plus every cfg.fields column (multi-field
+    search, Solr qf analogue): each field is tokenized with the SAME
+    analyzer and its terms prefixed "<field>:" (':' cannot occur inside an
+    analyzer token, so fielded and text terms never collide). Each fielded
+    posting carries the FIELD's own dl, so query-time BM25 normalizes per
+    field (BM25F-style per-field length norm [public: Robertson & Zaragoza
+    2009 §3.5; Lucene PerFieldSimilarity]). One mapInPandas leg per field,
+    unioned BEFORE the single term shuffle — still a one-exchange build."""
+    tok = make_tokenize_tf(cfg.stopwords, positions=cfg.positions)
+    tf = docs.select("doc_id", "text").mapInPandas(tok, TOKENIZE_TF_SCHEMA)
+    for f in cfg.fields:
+        ftf = (docs.select("doc_id", F.col(f).cast("string").alias("text"))
+                   .mapInPandas(tok, TOKENIZE_TF_SCHEMA)
+                   .withColumn("term", F.concat(F.lit(f + ":"),
+                                                F.col("term"))))
+        tf = tf.unionByName(ftf)
+    return tf
+
+
 def _encode_rows(terms: np.ndarray, d: np.ndarray, t: np.ndarray,
                  l: np.ndarray, cfg: EngineConfig,
                  pg: Optional[np.ndarray] = None) -> pd.DataFrame:
@@ -344,20 +364,36 @@ def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
                       F.first("bucket").alias("bucket")),
         p.dict, partition_by="bucket")
     # totals from the (tiny) dict + the per-segment manifests — no second
-    # full pass over the postings
-    tot = CATALOG.read_table(spark, p.dict).agg(
-        F.count("*").alias("n_terms"),
-        F.sum("df").alias("n_postings"),
-        F.sum("cf").alias("sum_dl"),
-    ).first()
+    # full pass over the postings. Fielded terms ("<field>:<term>") get
+    # their own per-field sum_dl/avg_dl (BM25 normalizes per field); the
+    # headline text stats exclude them, so single-field indexes are
+    # bit-identical to the pre-fields format.
+    is_field = F.col("term").contains(":")
+    pref = F.when(is_field, F.split(F.col("term"), ":").getItem(0)) \
+            .otherwise(F.lit(""))
+    rows = (CATALOG.read_table(spark, p.dict)
+            .groupBy(pref.alias("fld"))
+            .agg(F.count("*").alias("n_terms"),
+                 F.sum("df").alias("n_postings"),
+                 F.sum("cf").alias("sum_dl")).collect())
+    by_fld = {r["fld"]: r for r in rows}
+    text = by_fld.get("", {"n_terms": 0, "n_postings": 0, "sum_dl": 0})
+    n_docs = docs_meta["n_docs"]
     stats = {
-        "n_docs": docs_meta["n_docs"],
-        "sum_dl": int(tot["sum_dl"] or 0),
-        "avg_dl": (int(tot["sum_dl"] or 0) / max(1, docs_meta["n_docs"])),
-        "n_terms": int(tot["n_terms"] or 0),
-        "n_postings": int(tot["n_postings"] or 0),
+        "n_docs": n_docs,
+        "sum_dl": int(text["sum_dl"] or 0),
+        "avg_dl": (int(text["sum_dl"] or 0) / max(1, n_docs)),
+        "n_terms": int(sum(r["n_terms"] for r in rows)),
+        "n_postings": int(sum(r["n_postings"] for r in rows)),
         "n_blocks": int(sum(s["n_blocks"] for s in seg_rows)),
     }
+    fields = {f: {"n_terms": int(r["n_terms"]),
+                  "n_postings": int(r["n_postings"]),
+                  "sum_dl": int(r["sum_dl"] or 0),
+                  "avg_dl": int(r["sum_dl"] or 0) / max(1, n_docs)}
+              for f, r in by_fld.items() if f}
+    if fields:
+        stats["fields"] = fields
     CATALOG.write_meta(p.stats, stats)
     manifest = {
         "format": "parser-indexer-spark/v1",
@@ -466,12 +502,10 @@ def _build_segment(spark: SparkSession, p: IndexPaths, seg: int,
     source = docs_df if docs_df is not None \
         else CATALOG.read_table(spark, p.docs)
     docs_seg = (source.where(F.col("seg") == seg)
-                .select("doc_id", "text"))
+                .select("doc_id", "text", *cfg.fields))
     if docs_df is None and docs_seg.rdd.getNumPartitions() < cfg.build_partitions:
         docs_seg = docs_seg.repartition(cfg.build_partitions)
-    tf = docs_seg.mapInPandas(
-        make_tokenize_tf(cfg.stopwords, positions=cfg.positions),
-        TOKENIZE_TF_SCHEMA)
+    tf = tokenize_with_fields(docs_seg, cfg)
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # salt doc-range bounds from phase-A metadata (no extra scan);

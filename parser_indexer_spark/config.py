@@ -54,6 +54,10 @@ class EngineConfig:
     positions: bool = True         # store within-doc token positions
                                    # (phrase/proximity queries, D-phrase;
                                    # Lucene indexes positions by default)
+    fields: tuple = ()             # extra doc columns indexed as fielded
+                                   # terms "<field>:<term>" (multi-field
+                                   # search with boosts, Solr qf analogue;
+                                   # ':' never appears in analyzer tokens)
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -65,6 +69,7 @@ class EngineConfig:
                                f"delta-{self.codec}-v1")
         object.__setattr__(self, "stopwords",
                            tuple(sorted(set(self.stopwords))))
+        object.__setattr__(self, "fields", tuple(self.fields))
         if not self.analyzer_version:
             # analyzer lineage bumps when a stopword list is active; the
             # list itself is persisted so old indexes validate under their
@@ -93,6 +98,7 @@ class EngineConfig:
             "codec": self.codec,
             "codec_version": self.codec_version,
             "positions": self.positions,
+            "fields": list(self.fields),
         }
 
     @classmethod
@@ -107,4 +113,6 @@ class EngineConfig:
         known.setdefault("positions", "positions" in d)
         if "stopwords" in d:
             known["stopwords"] = tuple(d["stopwords"])
+        if "fields" in d:
+            known["fields"] = tuple(d["fields"])
         return cls(**known)

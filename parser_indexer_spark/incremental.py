@@ -20,10 +20,9 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from parser_indexer_spark.analyze import TOKENIZE_TF_SCHEMA, make_tokenize_tf
 from parser_indexer_spark.build import (
     build_index, finalize_index, invert_and_write_segment,
-    write_segment_manifest,
+    tokenize_with_fields, write_segment_manifest,
 )
 from parser_indexer_spark.config import EngineConfig
 from parser_indexer_spark.docids import assign_doc_ids
@@ -74,10 +73,8 @@ def append_segment(spark: SparkSession, root: str, batch: DataFrame,
         # partition instead of appending duplicates — idempotent per segment
         CATALOG.write_table(ids.withColumn("seg", F.lit(seg)), p.docs,
                             partition_by="seg", dynamic=True)
-        tf = ids.select("doc_id", "text") \
-                .mapInPandas(make_tokenize_tf(cfg.stopwords,
-                                              positions=cfg.positions),
-                             TOKENIZE_TF_SCHEMA)
+        tf = tokenize_with_fields(
+            ids.select("doc_id", "text", *cfg.fields), cfg)
         n_hot = invert_and_write_segment(spark, p, seg, cfg, tf,
                                          (base, int(max_id)))
         write_segment_manifest(spark, p, seg, cfg, n_hot, t0)

@@ -148,7 +148,69 @@ class Index:
         n_docs = self.stats["n_docs"]
         avg_dl = self.stats["avg_dl"]
         idf = {t: bm25_idf(n_docs, dfs[t]) for t in terms}
+        return self._search_terms(
+            terms, dfs, idf, avg_dl, k=k, mode=mode, doc_filter=doc_filter,
+            prune=prune, score_partitions=score_partitions, after=after,
+            seed_theta=seed_theta)
 
+    def search_fields(self, field_queries: dict, boosts: Optional[dict] = None,
+                      k: int = 10, mode: str = "OR",
+                      doc_filter: Optional[str] = None, prune: bool = True,
+                      score_partitions: Optional[int] = None,
+                      after: Optional[tuple] = None) -> DataFrame:
+        """Multi-field search with per-field boosts (Solr qf/dismax
+        analogue [public: Solr DisMaxQParser]; requires an index built with
+        cfg.fields). ``field_queries`` maps field -> query string; "text"
+        is the main field, any other key must be in cfg.fields (indexed as
+        "<field>:<term>").
+
+        score(d) = Σ_f boost_f · Σ_{t ∈ q_f} idf(f:t) · tf_norm(tf, dl_f,
+        avgdl_f) — BM25 with PER-FIELD length normalization (each fielded
+        posting carries its field's dl; stats.json stores per-field avgdl).
+        mode="AND" requires every term of every field to match. Same
+        one-shuffle plan, truncation, WAND, filters, and paging as
+        search(); the boost folds into the per-term idf weight, so the
+        scorer and its block-max bounds need no special casing."""
+        boosts = boosts or {}
+        unknown = [f for f in field_queries
+                   if f != "text" and f not in self.cfg.fields]
+        if unknown:
+            raise ValueError(f"fields {unknown} not indexed "
+                             f"(cfg.fields={list(self.cfg.fields)})")
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        terms, boost_of, avg_of = [], {}, {}
+        favg = self.stats.get("fields", {})
+        for f, q in field_queries.items():
+            for t in sorted(set(tokenize_py(q, self.cfg.stopwords))):
+                ft = t if f == "text" else f"{f}:{t}"
+                terms.append(ft)
+                boost_of[ft] = float(boosts.get(f, 1.0))
+                avg_of[ft] = (self.stats["avg_dl"] if f == "text"
+                              else favg[f]["avg_dl"])
+        terms = sorted(set(terms))
+        if not terms:
+            return empty
+        dfs = self.term_stats(terms)
+        if mode == "AND" and any(dfs[t] == 0 for t in terms):
+            return empty
+        terms = [t for t in terms if dfs[t] > 0]
+        if not terms:
+            return empty
+        n_docs = self.stats["n_docs"]
+        idf = {t: boost_of[t] * bm25_idf(n_docs, dfs[t]) for t in terms}
+        return self._search_terms(
+            terms, dfs, idf, {t: avg_of[t] for t in terms}, k=k, mode=mode,
+            doc_filter=doc_filter, prune=prune,
+            score_partitions=score_partitions, after=after,
+            seed_theta=False)  # θ-seed's SQL leg assumes one global avgdl
+
+    def _search_terms(self, terms, dfs, idf, avg_dl, k, mode, doc_filter,
+                      prune, score_partitions, after, seed_theta):
+        """Shared execution path for search()/search_fields(): pruned
+        block scan -> one chunk shuffle -> streamed scorer -> top-k.
+        ``avg_dl``: scalar, or dict term->avgdl (per-field norms)."""
+        spark = self.spark
+        empty = spark.createDataFrame([], "doc_id long, score double")
         buckets = sorted({term_bucket(t, self.cfg.n_buckets) for t in terms})
         blocks = (
             self._postings_df
@@ -318,6 +380,8 @@ class Index:
         exactly with the SAME scorer code, and return its k-th score. θ0 is
         an achieved score of k real docs, so the global k-th best is >= θ0
         and pruning against it stays lossless everywhere."""
+        if isinstance(avg_dl, dict):
+            return 0.0  # per-field norms: the metadata-agg leg assumes one
         k1, b = self.cfg.k1, self.cfg.b
         idf_col = F.lit(0.0)
         for t in terms:
@@ -435,13 +499,17 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
     θ improves monotonically for WAND because chunks arrive in ascending
     order. ``allowed_bc``: optional broadcast sorted int64 doc_id array; the
     filter applies pre-heap, keeping truncation + WAND active (block-max
-    upper bounds over the unfiltered corpus stay valid upper bounds)."""
+    upper bounds over the unfiltered corpus stay valid upper bounds).
+    ``avg_dl``: scalar, or dict term->avgdl (multi-field per-field
+    normalization — fielded postings carry the field's own dl)."""
     terms_sorted = list(terms)  # already sorted unique
     idf_arr = {t: float(idf[t]) for t in terms_sorted}
+    avg_of = {t: float(avg_dl[t] if isinstance(avg_dl, dict) else avg_dl)
+              for t in terms_sorted}
     m = len(terms_sorted)
 
-    def tf_norm(tf, dl):
-        return tf / (tf + k1 * (1.0 - b + b * dl / avg_dl))
+    def tf_norm(tf, dl, avg):
+        return tf / (tf + k1 * (1.0 - b + b * dl / avg))
 
     def score_chunk(rows: pd.DataFrame, heap_docs, heap_scores):
         """rows: all block rows of ONE chunk. Returns updated heap arrays."""
@@ -469,7 +537,7 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
                     continue
                 mt = sel["max_tf"].to_numpy(dtype=np.float64)
                 md = sel["min_dl"].to_numpy(dtype=np.float64)
-                ub += idf_arr[t] * float(np.max(tf_norm(mt, md)))
+                ub += idf_arr[t] * float(np.max(tf_norm(mt, md, avg_of[t])))
             if ub < theta - _PRUNE_EPS * max(1.0, abs(theta)):
                 return heap_docs, heap_scores  # block-max WAND skip (D8)
 
@@ -516,7 +584,7 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
             for t in terms_sorted:  # frozen accumulation order
                 d, tf, dl = per_term[t]
                 pos = np.searchsorted(d, common)
-                total += idf_arr[t] * tf_norm(tf[pos], dl[pos])
+                total += idf_arr[t] * tf_norm(tf[pos], dl[pos], avg_of[t])
             docs_out, scores_out = common, total
         else:
             all_docs = np.unique(np.concatenate([per_term[t][0] for t in per_term]))
@@ -526,7 +594,7 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
                     continue
                 d, tf, dl = per_term[t]
                 pos = np.searchsorted(all_docs, d)
-                total[pos] += idf_arr[t] * tf_norm(tf, dl)
+                total[pos] += idf_arr[t] * tf_norm(tf, dl, avg_of[t])
             docs_out, scores_out = all_docs, total
 
         if after is not None:

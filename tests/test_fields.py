@@ -1,0 +1,130 @@
+"""Multi-field search with boosts (Solr qf analogue): fielded terms
+"<field>:<term>" with per-field dl/avgdl; boost folds into idf weight.
+Oracle = brute-force python BM25F over the same corpus (null fields -> no
+posting, same as the engine's empty token list)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from parser_indexer_spark.analyze import tokenize_py
+from parser_indexer_spark.build import build_index
+from parser_indexer_spark.config import EngineConfig
+from parser_indexer_spark.search import Index
+
+
+@pytest.fixture(scope="module")
+def fielded(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fielded") / "idx")
+    cfg = EngineConfig(n_buckets=8, build_partitions=8, chunk_bits=9,
+                       fields=("role", "tool"))
+    df = spark.createDataFrame(corpus.sample(frac=1.0, random_state=7))
+    build_index(spark, df, out, cfg, segments=2)
+    return Index(spark, out)
+
+
+def _oracle_bm25f(corpus, field_queries, boosts, k=10, mode="OR",
+                  k1=1.2, b=0.75):
+    n = len(corpus)
+    toks = {
+        "text": [tokenize_py(t) for t in corpus["text"]],
+        "role": [tokenize_py(t) for t in corpus["role"]],
+        "tool": [tokenize_py(t if t is not None else None)
+                 for t in corpus["tool"]],
+    }
+    avg = {f: sum(len(x) for x in tk) / n for f, tk in toks.items()}
+    scores, matched, required = {}, {}, []
+    for f, q in field_queries.items():
+        for t in sorted(set(tokenize_py(q))):
+            df_t = sum(1 for tk in toks[f] if t in tk)
+            required.append((f, t, df_t))
+            if df_t == 0:
+                continue
+            idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+            w = boosts.get(f, 1.0) * idf
+            for d, tk in enumerate(toks[f]):
+                tf = tk.count(t)
+                if tf:
+                    dl = len(tk)
+                    scores[d] = scores.get(d, 0.0) + w * tf / (
+                        tf + k1 * (1 - b + b * dl / avg[f]))
+                    matched.setdefault(d, set()).add((f, t))
+    if mode == "AND":
+        if any(df_t == 0 for _, _, df_t in required):
+            return []
+        need = {(f, t) for f, t, _ in required}
+        scores = {d: s for d, s in scores.items() if matched[d] == need}
+    out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return [(d, s) for d, s in out]
+
+
+QUERIES = [
+    ({"text": "spark join", "role": "assistant"}, {"role": 2.0}, "OR"),
+    ({"text": "spark join", "tool": "python"}, {"tool": 3.0}, "OR"),
+    ({"text": "spark", "role": "tool", "tool": "bash"}, {}, "AND"),
+    ({"role": "user"}, {"role": 1.0}, "OR"),
+]
+
+
+@pytest.mark.parametrize("fq,boosts,mode", QUERIES)
+def test_search_fields_matches_oracle(fielded, corpus, fq, boosts, mode):
+    got = [(r.doc_id, r.score) for r in
+           fielded.search_fields(fq, boosts=boosts, k=10, mode=mode).collect()]
+    exp = _oracle_bm25f(corpus, fq, boosts, k=10, mode=mode)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-9)
+
+
+def test_field_stats_per_field_avgdl(fielded, corpus):
+    st = fielded.stats
+    assert st["fields"]["role"]["avg_dl"] == pytest.approx(1.0)
+    tool_tokens = sum(len(tokenize_py(t)) for t in corpus["tool"]
+                      if t is not None)
+    assert st["fields"]["tool"]["sum_dl"] == tool_tokens
+    # text stats exclude fielded terms: avg_dl is the TEXT average
+    text_tokens = sum(len(tokenize_py(t)) for t in corpus["text"])
+    assert st["sum_dl"] == text_tokens
+
+
+def test_boost_reorders(fielded):
+    """A large tool boost must push tool-matching docs above text-only
+    matches; with boost ~0 the fielded leg vanishes from the scores."""
+    hi = [(r.doc_id, round(r.score, 9)) for r in fielded.search_fields(
+        {"text": "spark", "tool": "python"}, boosts={"tool": 100.0},
+        k=5).collect()]
+    lo = [(r.doc_id, round(r.score, 9)) for r in fielded.search_fields(
+        {"text": "spark", "tool": "python"}, boosts={"tool": 1e-12},
+        k=5).collect()]
+    assert hi != lo
+    base = [(r.doc_id,) for r in fielded.search("spark", k=5).collect()]
+    assert [(d,) for d, _ in lo] == base  # ~zero boost ≈ text-only ranking
+
+
+def test_unknown_field_rejected(fielded):
+    with pytest.raises(ValueError, match="not indexed"):
+        fielded.search_fields({"text": "spark", "nosuch": "x"})
+
+
+def test_pruning_lossless_and_parallelism_invariant(fielded):
+    fq = {"text": "spark join", "role": "assistant"}
+    a = [(r.doc_id, r.score) for r in
+         fielded.search_fields(fq, boosts={"role": 2.0}, k=10).collect()]
+    b = [(r.doc_id, r.score) for r in
+         fielded.search_fields(fq, boosts={"role": 2.0}, k=10,
+                               prune=False).collect()]
+    c = [(r.doc_id, r.score) for r in
+         fielded.search_fields(fq, boosts={"role": 2.0}, k=10,
+                               score_partitions=2).collect()]
+    assert a == b == c
+
+
+def test_plain_search_unaffected_by_fields(fielded, engine):
+    """Fielded terms never leak into text queries: the default index and
+    the fielded index give identical text-only results."""
+    a = [(r.doc_id, round(r.score, 9)) for r in
+         fielded.search("spark join", k=10).collect()]
+    b = [(r.doc_id, round(r.score, 9)) for r in
+         engine.search("spark join", k=10).collect()]
+    assert a == b
