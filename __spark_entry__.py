@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": relops.ann_cosine,
         "ann_cosine_lsh": relops.ann_cosine_lsh,
         "ann_cosine_lsh_probe": relops.ann_cosine_lsh_probe,
+        "ann_cosine_lsh_multi": relops.ann_cosine_lsh_multi,
         "token_count_bpe": relops.token_count_bpe,
         "fingerprint_rolling": relops.fingerprint_rolling,
         "median_udaf": relops.median_udaf,
@@ -400,6 +401,47 @@ SELECT * FROM (
   FROM scored ORDER BY scored.score DESC, doc_id LIMIT {k}
 ) WHERE doc_id <> 0
 """
+
+
+def _ann_multi_sql(k: int = 10, n_tables: int = 16, n_planes: int = 3) -> str:
+    """Generated DuckDB mirror of relops.ann_cosine_lsh_multi (L-table
+    LSH): same integer-deterministic planes, candidates = union over
+    tables of query-bucket members, exact cosine re-rank."""
+    npl = n_tables * n_planes
+
+    def dotp(p: int) -> str:
+        return (f"list_dot_product(embedding::DOUBLE[], "
+                f"(SELECT h FROM planes WHERE p={p}))")
+
+    buckets = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN {dotp(t * n_planes + i)} >= 0 "
+            f"THEN {2 ** i} ELSE 0 END)" for i in range(n_planes))
+        buckets.append(f"({bits}) AS b{t}")
+    qb = ", ".join(f"b{t} AS qb{t}" for t in range(n_tables))
+    match = " OR ".join(f"eb.b{t} = q.qb{t}" for t in range(n_tables))
+    return f"""
+        WITH planes AS (
+          SELECT p, list_transform(
+                   range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
+                   j -> (CAST((j+1)*(p*7+3)*2654435761 % 1000 AS DOUBLE) - 500)/250.0
+                 ) AS h
+          FROM (SELECT unnest(range(0, {npl})) AS p)
+        ),
+        eb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e, {', '.join(buckets)}
+          FROM embeddings
+        ),
+        q AS (SELECT e AS qe, {qb} FROM eb WHERE vec_id = 0),
+        s AS (
+          SELECT vec_id,
+                 list_dot_product(e, qe)
+                 / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS c
+          FROM eb, q WHERE ({match}) AND vec_id <> 0
+        )
+        SELECT vec_id, round(c, 6) AS cosine
+        FROM s ORDER BY c DESC, vec_id LIMIT {k}"""
 
 
 def _lang_trigram_sql() -> str:
@@ -735,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(c, 6) AS cosine
             FROM s ORDER BY c DESC, vec_id LIMIT 10""",
+        "ann_cosine_lsh_multi": _ann_multi_sql(),
         "token_count_bpe": r"""
             SELECT doc_id % 10 AS doc_mod, count(*) AS n_docs,
                    CAST(sum(n) AS BIGINT) AS total_tokens,

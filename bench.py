@@ -91,7 +91,7 @@ def main() -> None:
                  "array_explode_tf", "json_extract", "dedup_exact",
                  "minhash_signature", "dedup_near_pairs", "simhash64",
                  "lang_trigram", "zscore_grouped", "ann_cosine",
-                 "ann_cosine_lsh"]:
+                 "ann_cosine_lsh", "ann_cosine_lsh_multi"]:
         fn = getattr(relops, name)
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
     from parser_indexer_spark import multimodal as mm

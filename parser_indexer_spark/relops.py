@@ -636,6 +636,70 @@ def _ann_lsh(spark, sf_dir, k, probe):
             .select("vec_id", F.round("_exact", 6).alias("cosine")))
 
 
+def ann_cosine_lsh_multi(spark, sf_dir):
+    """L-table LSH ANN [public: Indyk & Motwani 1998; Andoni & Indyk 2008
+    E2LSH]: 16 INDEPENDENT hash tables of 3 hyperplanes each (planes
+    3t..3t+2 per table t, same integer-deterministic construction as
+    ann_cosine_lsh). Candidates = UNION over tables of the query-bucket
+    members — a near neighbour is missed only if it disagrees with the
+    query in EVERY table, so recall rises as 1-(1-p^r)^L instead of p^r.
+    L=16/r=3 is sized for the fixture embeddings (near-uniform: top-10
+    cosine ~0.3 => per-plane agreement p ~0.61, per-table hit ~0.22, 16
+    tables => ~0.98 expected recall; asserted >= 0.9 in
+    tests/test_relops_ext.py). NOTE: at that similarity level ANY LSH
+    needs a wide union — the candidate fraction is ~0.9 of the tiny
+    fixture corpus; real clustered embeddings at the same L keep buckets
+    sparse. Execution = 16 bucket-equality lookups unioned + exact
+    re-rank over deduped candidates; at 100 TB each lookup is a
+    partition-pruned read of a bucket-partitioned table, never a scan."""
+    return _ann_lsh_multi(spark, sf_dir, k=10, n_tables=16, n_planes=3)
+
+
+def _ann_lsh_multi(spark, sf_dir, k, n_tables, n_planes):
+    emb = T(spark, sf_dir, "embeddings")
+    first = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    dim = len(first)
+
+    def plane(p):
+        return [((j + 1) * (p * 7 + 3) * 2654435761 % 1000 - 500) / 250.0
+                for j in range(dim)]
+
+    def dot_with(vals):
+        lit = F.array(*[F.lit(v) for v in vals])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), lit,
+                       lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    def bucket_col(t):
+        return sum([(F.when(dot_with(plane(t * n_planes + i)) >= 0,
+                            2 ** i).otherwise(0))
+                    for i in range(n_planes)], F.lit(0)).alias(f"b{t}")
+
+    with_b = emb.select("vec_id", "embedding",
+                        *[bucket_col(t) for t in range(n_tables)])
+    q = with_b.where(F.col("vec_id") == 0).first()
+    qe = q["embedding"]
+    qlit = F.array(*[F.lit(float(x)) for x in qe])
+    dot = F.aggregate(F.zip_with(F.col("embedding"), qlit,
+                                 lambda a, b: a.cast("double") * b.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"), lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    qn = float(sum(float(x) * float(x) for x in qe)) ** 0.5
+    cos = dot / (nrm * F.lit(qn))
+    cand = None
+    for t in range(n_tables):  # union of per-table bucket lookups
+        part = with_b.where((F.col(f"b{t}") == int(q[f"b{t}"]))
+                            & (F.col("vec_id") != 0))
+        cand = part if cand is None else cand.unionByName(part)
+    return (cand.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+                .select("vec_id", cos.alias("_exact"))
+                .orderBy(F.desc("_exact"), F.asc("vec_id")).limit(k)
+                .select("vec_id", F.round("_exact", 6).alias("cosine")))
+
+
 BPE_PRETOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+"
                    r"| ?[^a-z0-9\s']+")
 
