@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_lsh": relops.ann_cosine_lsh,
         "ann_cosine_lsh_probe": relops.ann_cosine_lsh_probe,
         "ann_cosine_lsh_multi": relops.ann_cosine_lsh_multi,
+        "dedup_embedding_pairs": relops.dedup_embedding_pairs,
         "token_count_bpe": relops.token_count_bpe,
         "fingerprint_rolling": relops.fingerprint_rolling,
         "median_udaf": relops.median_udaf,
@@ -442,6 +443,42 @@ def _ann_multi_sql(k: int = 10, n_tables: int = 16, n_planes: int = 3) -> str:
         )
         SELECT vec_id, round(c, 6) AS cosine
         FROM s ORDER BY c DESC, vec_id LIMIT {k}"""
+
+
+def _dedup_embedding_sql(threshold: float = 0.3, cap: int = 1000) -> str:
+    """Generated DuckDB mirror of relops.dedup_embedding_pairs."""
+    def dotp(p: int) -> str:
+        return (f"list_dot_product(embedding::DOUBLE[], "
+                f"(SELECT h FROM planes WHERE p={p}))")
+
+    bits = " + ".join(f"(CASE WHEN {dotp(p)} >= 0 THEN {2 ** p} ELSE 0 END)"
+                      for p in range(8))
+    return f"""
+        WITH planes AS (
+          SELECT p, list_transform(
+                   range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
+                   j -> (CAST((j+1)*(p*7+3)*2654435761 % 1000 AS DOUBLE) - 500)/250.0
+                 ) AS h
+          FROM (SELECT unnest(range(0, 8)) AS p)
+        ),
+        eb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e, ({bits}) AS bucket
+          FROM embeddings
+        ),
+        small AS (
+          SELECT bucket FROM eb GROUP BY bucket HAVING count(*) <= {cap}
+        ),
+        s AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))) AS c
+          FROM eb a
+          JOIN small s ON s.bucket = a.bucket
+          JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, round(c, 6) AS cosine
+        FROM s WHERE c >= {threshold}"""
 
 
 def _lang_trigram_sql() -> str:
@@ -778,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(c, 6) AS cosine
             FROM s ORDER BY c DESC, vec_id LIMIT 10""",
         "ann_cosine_lsh_multi": _ann_multi_sql(),
+        "dedup_embedding_pairs": _dedup_embedding_sql(),
         "token_count_bpe": r"""
             SELECT doc_id % 10 AS doc_mod, count(*) AS n_docs,
                    CAST(sum(n) AS BIGINT) AS total_tokens,

@@ -61,6 +61,15 @@ def main() -> None:
                               doc_id_col="doc_id"))
     ix = Index(spark, idx_dir)
 
+    # positional-payload cost isolation (r3): same build without pos_enc
+    from dataclasses import replace as _cfgreplace
+    nopos_dir = "/tmp/bench_docs_index_nopos"
+    shutil.rmtree(nopos_dir, ignore_errors=True)
+    timed("build_documents_index_nopos",
+          lambda: build_index(spark, docs, nopos_dir,
+                              _cfgreplace(cfg, positions=False), segments=1,
+                              doc_id_col="doc_id"))
+
     # 2. headline BM25 queries
     for name, (q, mode) in {
         "q_bm25_or": ("spark join", "OR"),

@@ -700,6 +700,63 @@ def _ann_lsh_multi(spark, sf_dir, k, n_tables, n_planes):
                 .select("vec_id", F.round("_exact", 6).alias("cosine")))
 
 
+def dedup_embedding_pairs(spark, sf_dir, threshold: float = 0.3,
+                          max_bucket: int = 1000):
+    """Embedding-cosine near-dup PAIRS, bucketed (the 5th dedup modality
+    next to exact/MinHash/SimHash/Jaccard): 8-hyperplane sign-LSH bucket
+    per vector (integer-deterministic planes, DuckDB-mirrorable), candidate
+    pairs ONLY via the bucket self equi-join (capped by max_bucket, never
+    all-pairs), exact cosine verify >= threshold.
+
+    Recall semantics [public: Charikar 2002 SimHash/random hyperplane]:
+    per-plane agreement is 1 - theta/pi, so a TRUE duplicate (cos ~0.95)
+    collides with p ~0.9^8 ~0.43 per table — production dedup runs L such
+    tables (see ann_cosine_lsh_multi) to push recall to ~1; the fixture's
+    moderate-similarity pairs are deliberately under-recalled by a single
+    table. Precision is exact (cosine verify). Output: (vec_a, vec_b,
+    cosine)."""
+    emb = T(spark, sf_dir, "embeddings")
+    first = emb.select("embedding").first()["embedding"]
+    dim = len(first)
+
+    def plane(p):
+        return [((j + 1) * (p * 7 + 3) * 2654435761 % 1000 - 500) / 250.0
+                for j in range(dim)]
+
+    def dot_with(vals):
+        lit = F.array(*[F.lit(v) for v in vals])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), lit,
+                       lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = sum([(F.when(dot_with(plane(p)) >= 0, 2 ** p).otherwise(0))
+                  for p in range(8)], F.lit(0)).alias("bucket")
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"),
+                    lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    eb = _cap_buckets(emb.select("vec_id", "embedding", bucket,
+                                 nrm.alias("nrm")),
+                      ["bucket"], max_bucket)
+    a = eb.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").alias("ea"),
+                  F.col("nrm").alias("na"), "bucket")
+    b = eb.select(F.col("vec_id").alias("vec_b"),
+                  F.col("embedding").alias("eb"),
+                  F.col("nrm").alias("nb"), "bucket")
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (a.join(b, "bucket")
+             .where(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "vec_b", cos.alias("_c"))
+             .where(F.col("_c") >= threshold)
+             .select("vec_a", "vec_b", F.round("_c", 6).alias("cosine")))
+
+
 BPE_PRETOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+"
                    r"| ?[^a-z0-9\s']+")
 

@@ -390,7 +390,8 @@ class Index:
         else:
             allowed_bc = None
         if len(self._filter_bc) >= self._filter_bc_max:
-            _, old = self._filter_bc.popitem()
+            oldest = next(iter(self._filter_bc))   # FIFO eviction
+            old = self._filter_bc.pop(oldest)
             if old is not None:
                 old.destroy()
         self._filter_bc[doc_filter] = allowed_bc

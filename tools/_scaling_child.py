@@ -35,7 +35,11 @@ def main() -> None:
     df = spark.read.parquet(input_path)
     shutil.rmtree(out_dir, ignore_errors=True)
     cfg = EngineConfig(n_buckets=32, build_partitions=parts,
-                       salt_df_threshold=50_000, n_salts=16, chunk_bits=17)
+                       salt_df_threshold=50_000, n_salts=16, chunk_bits=17,
+                       # positional payloads are the r3 default; the A/B
+                       # toggle isolates their build cost from host drift
+                       positions=os.environ.get("SCALING_POSITIONS",
+                                                "1") != "0")
 
     # untimed warmup build (~200k turns): JVM JIT + codegen caches + python
     # worker pools are steady-state on a real long-running cluster; without
