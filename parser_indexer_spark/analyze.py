@@ -29,6 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from parser_indexer_spark.codec import varint_slices
 from parser_indexer_spark.config import TOKEN_SPLIT_REGEX
 
 
@@ -81,11 +82,14 @@ def make_tokenize_tf(stopwords: tuple = (), positions: bool = True):
 
     ``positions``: emit ``pos_gaps`` — per (doc, term) the token positions
     in the doc, gap-encoded within the posting (first value absolute, then
-    strictly-positive deltas), ready for the block builder's positional
-    payload (D-phrase). Positions index the POST-stopword-filter token
-    stream (documented deviation from Lucene's position-increment gaps —
-    with the default empty stop list the two coincide). Vectorized: one
-    lexsort + boundary diff per batch, no per-row Python."""
+    strictly-positive deltas) and PACKED as one raw LEB128 byte string per
+    posting (binary column, not array<int>: the list-of-ints Arrow
+    conversion was a measured x1.48 build-CPU overhead, VERDICT r3 #2;
+    LEB128 slices concatenate, so the block builder joins bytes instead of
+    re-encoding). Positions index the POST-stopword-filter token stream
+    (documented deviation from Lucene's position-increment gaps — with the
+    default empty stop list the two coincide). Vectorized: one lexsort +
+    boundary diff + one whole-batch varint encode, no per-row Python."""
 
     def tokenize_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,7 +124,8 @@ def make_tokenize_tf(stopwords: tuple = (), positions: bool = True):
                 gaps = pos_s.copy()
                 gaps[1:] -= pos_s[:-1]
                 gaps[starts] = pos_s[starts]  # first-of-posting = absolute
-                out["pos_gaps"] = np.split(gaps.astype(np.int32), starts[1:])
+                out["pos_gaps"] = varint_slices(gaps.astype(np.uint64),
+                                                starts)
             else:
                 out["pos_gaps"] = [None] * starts.size
             yield pd.DataFrame(out)
@@ -139,7 +144,7 @@ tokenize_tf_batches = make_tokenize_tf()
 
 
 TOKENIZE_TF_SCHEMA = ("doc_id long, term string, tf int, dl int, "
-                      "pos_gaps array<int>")
+                      "pos_gaps binary")
 
 
 # ----------------------------------------------------------- Python oracle ---

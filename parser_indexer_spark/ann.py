@@ -1,0 +1,117 @@
+"""Materialized multi-table LSH ANN index (VERDICT r3 'What's missing' #3).
+
+The on-the-fly L-table LSH in relops.ann_cosine_lsh_multi recomputes all
+n_tables * n_planes hyperplane dot products over the full embeddings table
+per query. At 100 TB the index must be MATERIALIZED: this module persists
+each vector's per-table bucket assignments ONCE, partitioned by
+(table, bucket), so a query is a partition-pruned read of the ~L buckets
+the query vector hashes to — never a scan of the embeddings table
+[public: Indyk & Motwani 1998 LSH; Andoni & Indyk 2008 E2LSH layout].
+
+Layout at ``out_dir``:
+    buckets/t=T/b=B/*.parquet   (vec_id)   — the pruned lookup path
+    vectors/*.parquet           (vec_id, b0..b{L-1}) — query-bucket lookup
+    _ann_meta.json              n_tables / n_planes / dim + lineage
+
+Planes use the same exact-integer-arithmetic construction as relops (so
+DuckDB oracles agree bit-for-bit), and the query's own buckets are read
+back from the PERSISTED assignment — query-time Python never re-derives a
+sign bit, so no float-summation-order disagreement can flip a bucket.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from parser_indexer_spark.manifest import CATALOG, now
+
+
+def plane(p: int, dim: int) -> list:
+    """Deterministic pseudo-random hyperplane p — exact integer arithmetic
+    (identical doubles in DuckDB; libm trig may differ in the last ulp and
+    flip a sign at a bucket boundary). Same construction as relops."""
+    return [((j + 1) * (p * 7 + 3) * 2654435761 % 1000 - 500) / 250.0
+            for j in range(dim)]
+
+
+def dot_with(vals: list):
+    lit = F.array(*[F.lit(v) for v in vals])
+    return F.aggregate(
+        F.zip_with(F.col("embedding"), lit,
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def bucket_col(t: int, n_planes: int, dim: int):
+    """Sign-bit bucket of table t (planes t*n_planes .. t*n_planes+n-1)."""
+    return sum([(F.when(dot_with(plane(t * n_planes + i, dim)) >= 0,
+                        2 ** i).otherwise(0))
+                for i in range(n_planes)], F.lit(0)).alias(f"b{t}")
+
+
+def _meta_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_ann_meta.json")
+
+
+def build_ann_index(spark: SparkSession, emb: DataFrame, out_dir: str,
+                    n_tables: int = 16, n_planes: int = 3) -> dict:
+    """One pass over the embeddings: compute all L bucket assignments,
+    persist them wide (per-vector row) and long (partitioned by (t, b) via
+    a stack() pivot — one scan, no self-union). Returns the meta dict."""
+    t0 = now()
+    dim = len(emb.select("embedding").first()["embedding"])
+    wide = emb.select(
+        "vec_id", *[bucket_col(t, n_planes, dim) for t in range(n_tables)])
+    CATALOG.write_table(wide, os.path.join(out_dir, "vectors"))
+    stack_args = ", ".join(f"{t}, b{t}" for t in range(n_tables))
+    long = spark.read.parquet(os.path.join(out_dir, "vectors")).select(
+        "vec_id", F.expr(f"stack({n_tables}, {stack_args}) AS (t, b)"))
+    CATALOG.write_table(long, os.path.join(out_dir, "buckets"),
+                        partition_by=["t", "b"])
+    meta = {"n_tables": n_tables, "n_planes": n_planes, "dim": dim,
+            "n_vectors": emb.count(), "wall_sec": now() - t0}
+    CATALOG.write_meta(_meta_path(out_dir), meta)  # written LAST = commit
+    return meta
+
+
+def ann_query(spark: SparkSession, emb: DataFrame, index_dir: str,
+              query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Top-k cosine neighbours of ``query_vec_id`` via the materialized
+    index: (1) the query's own bucket row from the small wide table, (2) a
+    PARTITION-PRUNED read of its <= L (t, b) bucket partitions, (3) exact
+    cosine re-rank of the candidates only (broadcast semi-join into the
+    embeddings table). The embeddings table is scanned only for the
+    candidate join — never for hashing."""
+    meta = CATALOG.read_meta(_meta_path(index_dir))
+    L = meta["n_tables"]
+    q = (spark.read.parquet(os.path.join(index_dir, "vectors"))
+         .where(F.col("vec_id") == query_vec_id).first())
+    if q is None:
+        raise ValueError(f"vec_id {query_vec_id} not in ANN index")
+    cond = None
+    for t in range(L):
+        c = (F.col("t") == t) & (F.col("b") == int(q[f"b{t}"]))
+        cond = c if cond is None else (cond | c)
+    cand = (spark.read.parquet(os.path.join(index_dir, "buckets"))
+            .where(cond).where(F.col("vec_id") != query_vec_id)
+            .select("vec_id").distinct())
+    qe = (emb.where(F.col("vec_id") == query_vec_id)
+          .select("embedding").first())["embedding"]
+    qlit = F.array(*[F.lit(float(x)) for x in qe])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit,
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"),
+                    lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    qn = float(sum(float(x) * float(x) for x in qe)) ** 0.5
+    cos = dot / (nrm * F.lit(qn))
+    return (emb.join(F.broadcast(cand), "vec_id")
+            .select("vec_id", cos.alias("_exact"))
+            .orderBy(F.desc("_exact"), F.asc("vec_id")).limit(k)
+            .select("vec_id", F.round("_exact", 6).alias("cosine")))

@@ -119,21 +119,22 @@ def _encode_rows(terms: np.ndarray, d: np.ndarray, t: np.ndarray,
     if n and nonstart.any() and gaps[nonstart].min() <= 0:
         raise ValueError("doc_ids not strictly ascending within term run")
 
-    # positional payload (D-phrase): pg is the flat within-doc position-gap
-    # stream aligned with the postings (tf values per posting); a block's
-    # slice of it is [cumsum_tf[bstart], cumsum_tf[bend]) — the position
-    # blocks inherit the doc blocks' grid, no extra bookkeeping columns
+    # positional payload (D-phrase): pg is an object array of PER-POSTING
+    # raw LEB128 gap-stream slices (analyze.varint_slices); LEB128 streams
+    # concatenate, so a block's payload is just the byte-join of its
+    # postings' slices — no decode, no re-encode, no Arrow list column
+    # (VERDICT r3 #2). Positional payloads are therefore always
+    # varint-tagged, independent of cfg.codec (payloads are codec-tagged
+    # per column, so mixing FOR doc/tf/dl with varint positions is fine).
     pos_enc = None
     if pg is not None:
-        cum_t = np.concatenate(([0], np.cumsum(t, dtype=np.int64)))
-        pstarts, pends = cum_t[bstarts], cum_t[bends]
+        pos_enc = [b"V" + b"".join(pg[s:e])
+                   for s, e in zip(bstarts.tolist(), bends.tolist())]
 
     if cfg.codec == "for":
         docs_enc = for_encode_blocks(gaps.astype(np.uint64), bstarts, bends)
         tfs_enc = for_encode_blocks(t.astype(np.uint64), bstarts, bends)
         dls_enc = for_encode_blocks(l.astype(np.uint64), bstarts, bends)
-        if pg is not None:
-            pos_enc = for_encode_blocks(pg.astype(np.uint64), pstarts, pends)
     else:
         d_stream, d_nb = varint_encode_stream(gaps.astype(np.uint64))
         t_stream, t_nb = varint_encode_stream(t.astype(np.uint64))
@@ -149,12 +150,6 @@ def _encode_rows(terms: np.ndarray, d: np.ndarray, t: np.ndarray,
                    for s, e in zip(bstarts.tolist(), bends.tolist())]
         dls_enc = [b"V" + l_mv[l_off[s]:l_off[e]].tobytes()
                    for s, e in zip(bstarts.tolist(), bends.tolist())]
-        if pg is not None:
-            p_stream, p_nb = varint_encode_stream(pg.astype(np.uint64))
-            p_off = np.concatenate(([0], np.cumsum(p_nb)))
-            p_mv = memoryview(p_stream)
-            pos_enc = [b"V" + p_mv[p_off[s]:p_off[e]].tobytes()
-                       for s, e in zip(pstarts.tolist(), pends.tolist())]
 
     max_tf = np.maximum.reduceat(t, bstarts)
     min_dl = np.minimum.reduceat(l, bstarts)
@@ -193,8 +188,7 @@ def make_block_builder(cfg: EngineConfig):
     def encode(part: pd.DataFrame) -> pd.DataFrame:
         pg = None
         if use_pos:
-            pg = np.concatenate(
-                [np.asarray(a, dtype=np.int64) for a in part["pos_gaps"]])
+            pg = part["pos_gaps"].to_numpy()  # object array of raw slices
         return _encode_rows(
             part["term"].to_numpy(),
             part["doc_id"].to_numpy(dtype=np.int64),
@@ -234,6 +228,7 @@ def build_index(
     input_desc: str = "",
     resume: bool = True,
     doc_id_col: Optional[str] = None,
+    extra_docs_meta: Optional[dict] = None,
     _fail_after_segments: Optional[int] = None,  # fault injection (tests)
 ) -> dict:
     """Build (or resume) a full index at ``out_dir``; returns the manifest.
@@ -309,6 +304,11 @@ def build_index(
             "analyzer_version": cfg.analyzer_version,
             "wall_sec": now() - t0,
         }
+        # extra_docs_meta rides in the SAME atomic marker write (ADVICE
+        # r3): a streaming bootstrap records last_batch_id here, so a crash
+        # can never leave a marker without its replay-guard key
+        if extra_docs_meta:
+            docs_meta.update(extra_docs_meta)
         CATALOG.write_meta(p.docs_marker, docs_meta)
 
     seg_count = docs_meta["segments"]
@@ -355,6 +355,20 @@ def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
     segs = list(range(segments)) if isinstance(segments, int) else \
         sorted(segments)
     seg_rows = [CATALOG.read_meta(p.segment_manifest(s)) for s in segs]
+    import os as _os
+    for s in segs:
+        if not _os.path.isdir(p.dict_seg(s)):
+            # back-compat (ADVICE r3): segments committed before the
+            # per-segment-dict format have no dict_segs/seg=N — rebuild it
+            # ONCE from that segment's postings (upgrade-on-touch; later
+            # finalizes are O(vocab) again)
+            seg_post = CATALOG.read_table(spark, p.postings_seg(s))
+            CATALOG.write_table(
+                seg_post.groupBy("term")
+                        .agg(F.sum("num_docs").alias("df"),
+                             F.sum("sum_tf").alias("cf"),
+                             F.first("bucket").alias("bucket")),
+                p.dict_seg(s), partition_by="bucket")
     seg_dicts = CATALOG.read_table(
         spark, *[p.dict_seg(s) for s in segs],
         base_path=p.dict_segs)
@@ -408,19 +422,146 @@ def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
     return manifest
 
 
+def _write_impacts(spark: SparkSession, p: IndexPaths, seg: int,
+                   cfg: EngineConfig, tf: DataFrame,
+                   imp_terms: list) -> int:
+    """Impact sidecar for high-df terms [public: Lucene 8 impacts; Anh &
+    Moffat 2006 impact ordering]: per (term in imp_terms) persist the
+    top-``cfg.impact_top`` postings by BM25 tf-norm upper bound, plus ONE
+    bound row (doc_id = -1) holding (max tf, min dl) over every posting
+    NOT in the sidecar. At query time a head-term top-k whose k-th sidecar
+    score strictly beats the bound needs ZERO posting decode — the 4M-turn
+    head-term p95 fix (VERDICT r3 #1).
+
+    Selection order uses a PROXY avgdl (partition mean, then candidate
+    mean) — only WHICH postings are kept depends on it; losslessness rests
+    on the bound rows: one row per DISTINCT excluded tf carrying the min
+    dl at that tf (the impact skyline [public: Lucene ImpactsEnum]). Every
+    excluded posting (tf, dl) is dominated by its tf's skyline pair
+    (same tf, dl >= min dl), so max over skyline rows of tf_norm
+    upper-bounds every excluded score under ANY query-time avgdl — and,
+    unlike a single cross-combined (max tf, min dl) pair, the bound is
+    TIGHT (achieved by a real posting), so flat score distributions still
+    separate. Two-stage top-I: O(I)-state streaming selection per build
+    partition (no term-sorted shuffle of raw postings), then a tiny
+    window over <= partitions*I rows per term."""
+    if not imp_terms:
+        return 0
+    from pyspark.sql import Window
+
+    I, k1, b = cfg.impact_top, cfg.k1, cfg.b
+    nb = cfg.n_buckets
+    imp_df = spark.createDataFrame(
+        [(t, term_bucket(t, nb)) for t in imp_terms], "term string, bucket int")
+    sub = tf.join(F.broadcast(imp_df.select("term")), "term")
+    SCHEMA = "term string, doc_id long, tf int, dl int"
+
+    def local_top(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # streaming per-term state: top-I arrays + excluded skyline
+        # {tf -> min dl} (exact pairs, never cross-combined)
+        state: dict = {}   # term -> [d, tf, dl, skyline_dict]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for t, g in pdf.groupby("term", sort=False):
+                d = g["doc_id"].to_numpy(dtype=np.int64)
+                ta = g["tf"].to_numpy(dtype=np.int64)
+                la = g["dl"].to_numpy(dtype=np.int64)
+                st = state.get(t)
+                if st is not None:
+                    d = np.concatenate([st[0], d])
+                    ta = np.concatenate([st[1], ta])
+                    la = np.concatenate([st[2], la])
+                    sky = st[3]
+                else:
+                    sky = {}
+                if d.size > I:
+                    A = max(1.0, float(la.mean()))   # selection proxy
+                    s = ta / (ta + k1 * (1.0 - b + b * la / A))
+                    order = np.lexsort((d, -s))
+                    keep, excl = order[:I], order[I:]
+                    ex_tf, ex_dl = ta[excl], la[excl]
+                    u_tf, inv = np.unique(ex_tf, return_inverse=True)
+                    m_dl = np.full(u_tf.size, np.iinfo(np.int64).max,
+                                   dtype=np.int64)
+                    np.minimum.at(m_dl, inv, ex_dl)
+                    for tfv, dlv in zip(u_tf.tolist(), m_dl.tolist()):
+                        prev = sky.get(tfv)
+                        if prev is None or dlv < prev:
+                            sky[tfv] = dlv
+                    d, ta, la = d[keep], ta[keep], la[keep]
+                state[t] = [d, ta, la, sky]
+        for t, (d, ta, la, sky) in state.items():
+            out = pd.DataFrame({
+                "term": t, "doc_id": d,
+                "tf": ta.astype(np.int32), "dl": la.astype(np.int32)})
+            if sky:   # partition-local exclusion skyline rows
+                out = pd.concat([out, pd.DataFrame(
+                    {"term": t, "doc_id": np.int64(-1),
+                     "tf": np.array(sorted(sky), dtype=np.int32),
+                     "dl": np.array([sky[x] for x in sorted(sky)],
+                                    dtype=np.int32)})],
+                    ignore_index=True)
+            yield out
+
+    cand = sub.select("term", "doc_id", "tf", "dl") \
+              .mapInPandas(local_top, SCHEMA)
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        pos_rows = cand.where(F.col("doc_id") >= 0)
+        a2 = pos_rows.agg(F.avg("dl")).first()[0] or 1.0
+        score = (F.col("tf") /
+                 (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(a2))))
+        w = Window.partitionBy("term").orderBy(score.desc(),
+                                               F.col("doc_id").asc())
+        ranked = pos_rows.withColumn("rn", F.row_number().over(w))
+        side = ranked.where(F.col("rn") <= I).drop("rn")
+        # excluded skyline: one row per (term, distinct excluded tf) with
+        # the min dl at that tf — candidates dropped at this global stage
+        # and the partitions' local skyline rows merge by the same rule
+        dropped = ranked.where(F.col("rn") > I).select("term", "tf", "dl")
+        part_sky = cand.where(F.col("doc_id") < 0).select("term", "tf", "dl")
+        sky = (dropped.unionByName(part_sky)
+               .groupBy("term", "tf").agg(F.min("dl").alias("dl"))
+               .select("term", F.lit(-1).cast("long").alias("doc_id"),
+                       "tf", "dl"))
+        # EVERY impact term additionally gets a (tf=0, dl=1) marker row —
+        # its presence is the per-(term, segment) coverage certificate the
+        # query path checks; tf=0 contributes a zero bound, so a term
+        # whose postings ALL fit in the sidecar is certified complete
+        marker = imp_df.select(
+            "term", F.lit(-1).cast("long").alias("doc_id"),
+            F.lit(0).cast("int").alias("tf"), F.lit(1).cast("int").alias("dl"))
+        bound_rows = sky.unionByName(marker) \
+                        .join(F.broadcast(imp_df), "term") \
+                        .select("term", "doc_id", "tf", "dl", "bucket")
+        out = side.join(F.broadcast(imp_df), "term") \
+                  .select("term", "doc_id", "tf", "dl", "bucket") \
+                  .unionByName(bound_rows)
+        CATALOG.write_table(out, p.impacts_seg(seg), partition_by="bucket")
+    finally:
+        cand.unpersist()
+    return len(imp_terms)
+
+
 def invert_and_write_segment(spark: SparkSession, p: IndexPaths, seg: int,
                              cfg: EngineConfig, tf: DataFrame,
-                             doc_range: tuple[int, int]) -> int:
+                             doc_range: tuple[int, int]) -> dict:
     """Core inversion (C3-C6, C11): tf rows -> salted term shuffle ->
-    sorted block build -> bucket-partitioned write. Returns n_hot_terms.
+    sorted block build -> bucket-partitioned write (+ the impact sidecar
+    for high-df terms). Returns {"n_hot": .., "n_impact_terms": ..}.
     Shared by the fresh build and the merge/compaction job (C10)."""
     lo, hi = doc_range
     span = max(1, hi - lo + 1)
-    # skew census: exact df via map-side-combinable agg (shuffle ~|vocab|)
-    hot_rows = (tf.groupBy("term").count()
-                .where(F.col("count") > cfg.salt_df_threshold)
-                .select("term").collect())
-    hot = [r["term"] for r in hot_rows]
+    # skew census: exact df via map-side-combinable agg (shuffle ~|vocab|),
+    # shared by salting (df > salt_df_threshold) and the impact sidecar
+    # (df > impact_df_threshold) — one job, two consumers
+    lo_thresh = min(cfg.salt_df_threshold, cfg.impact_df_threshold)
+    census = (tf.groupBy("term").count()
+              .where(F.col("count") > lo_thresh).collect())
+    hot = [r["term"] for r in census if r["count"] > cfg.salt_df_threshold]
+    imp_terms = [r["term"] for r in census
+                 if r["count"] > cfg.impact_df_threshold]
     if hot:
         hot_df = spark.createDataFrame([(t,) for t in hot], "term string") \
                       .withColumn("_hot", F.lit(True))
@@ -443,11 +584,13 @@ def invert_and_write_segment(spark: SparkSession, p: IndexPaths, seg: int,
            .mapInPandas(make_block_builder(cfg), POSTINGS_SCHEMA)
     )
     CATALOG.write_table(blocks, p.postings_seg(seg), partition_by="bucket")
-    return len(hot)
+    n_imp = _write_impacts(spark, p, seg, cfg, tf, imp_terms)
+    return {"n_hot": len(hot), "n_impact_terms": n_imp}
 
 
 def write_segment_manifest(spark: SparkSession, p: IndexPaths, seg: int,
-                           cfg: EngineConfig, n_hot: int, t0: float) -> None:
+                           cfg: EngineConfig, inv_info: dict,
+                           t0: float) -> None:
     """Per-segment metrics + lineage (C13) + per-segment dictionary (C7).
     Two jobs over the NEW segment's blocks only: per-bucket agg (terms
     never cross buckets — bucket = hash(term) — so bucket metrics are
@@ -484,7 +627,8 @@ def write_segment_manifest(spark: SparkSession, p: IndexPaths, seg: int,
         "n_terms": int(sum(r["n_terms"] for r in rows)),
         "doc_lo": int(min((r["doc_lo"] for r in rows), default=0)),
         "doc_hi": int(max((r["doc_hi"] for r in rows), default=0)),
-        "n_hot_terms_salted": n_hot,
+        "n_hot_terms_salted": inv_info.get("n_hot", 0),
+        "n_impact_terms": inv_info.get("n_impact_terms", 0),
         "per_bucket": per_bucket,
         "analyzer_version": cfg.analyzer_version,
         "codec_version": cfg.codec_version,
@@ -514,10 +658,10 @@ def _build_segment(spark: SparkSession, p: IndexPaths, seg: int,
         s_count = int(docs_meta["segments"])
         lo = seg * (max_id + 1) // s_count
         hi = (seg + 1) * (max_id + 1) // s_count - 1 if seg < s_count - 1 else max_id
-        n_hot = invert_and_write_segment(spark, p, seg, cfg, tf, (lo, hi))
+        inv = invert_and_write_segment(spark, p, seg, cfg, tf, (lo, hi))
     finally:
         tf.unpersist()
-    write_segment_manifest(spark, p, seg, cfg, n_hot, t0)
+    write_segment_manifest(spark, p, seg, cfg, inv, t0)
 
 
 # ---------------------------------------------------------------- readers ---

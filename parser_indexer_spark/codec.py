@@ -45,6 +45,26 @@ def varint_encode_stream(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
     return out.tobytes(), nbytes.astype(np.int64)
 
 
+def varint_slices(vals: np.ndarray, starts: np.ndarray) -> list:
+    """LEB128-encode ``vals`` once and slice the stream at the value
+    boundaries ``starts`` (ascending, starts[0] == 0): returns one RAW
+    (untagged) byte string per segment [starts[i], starts[i+1]).
+
+    Because LEB128 streams are self-delimiting, the raw slices concatenate
+    back into a valid stream — the binary positional payload rides the
+    build shuffle as ONE bytes value per posting and the block builder
+    just joins slices, no array<int> Arrow conversion and no re-encode
+    (VERDICT r3 #2: positional build cost)."""
+    stream, nb = varint_encode_stream(vals)
+    if vals.size == 0:
+        return []
+    off = np.concatenate(([0], np.cumsum(nb)))
+    b_lo = off[starts]
+    b_hi = np.append(off[starts[1:]], off[-1])
+    mv = memoryview(stream)
+    return [mv[s:e].tobytes() for s, e in zip(b_lo.tolist(), b_hi.tolist())]
+
+
 def varint_encode(vals: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array. Vectorized: byte-width by 9 threshold
     comparisons, a (n,10) byte matrix, then a mask flatten."""

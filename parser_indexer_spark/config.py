@@ -58,6 +58,14 @@ class EngineConfig:
                                    # terms "<field>:<term>" (multi-field
                                    # search with boosts, Solr qf analogue;
                                    # ':' never appears in analyzer tokens)
+    impact_df_threshold: int = 4096  # terms with per-segment df above this
+                                   # get an impact sidecar: their top
+                                   # postings by score bound, written at
+                                   # build time so head-term queries can
+                                   # early-exit without decoding the full
+                                   # posting list [public: Lucene 8
+                                   # impacts; Anh & Moffat 2006]
+    impact_top: int = 256          # sidecar size I per (term, segment)
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -99,6 +107,8 @@ class EngineConfig:
             "codec_version": self.codec_version,
             "positions": self.positions,
             "fields": list(self.fields),
+            "impact_df_threshold": self.impact_df_threshold,
+            "impact_top": self.impact_top,
         }
 
     @classmethod
@@ -107,7 +117,7 @@ class EngineConfig:
             "n_buckets", "block_size", "chunk_bits", "build_partitions",
             "salt_df_threshold", "n_salts", "k1", "b",
             "analyzer_version", "codec", "codec_version",
-            "positions") if k in d}
+            "positions", "impact_df_threshold", "impact_top") if k in d}
         # indexes committed before the positional format carry no
         # "positions" key and have no pos_enc column
         known.setdefault("positions", "positions" in d)

@@ -42,13 +42,15 @@ def append_segment(spark: SparkSession, root: str, batch: DataFrame,
     batch as a brand-new segment with fresh doc_ids."""
     p = IndexPaths(root)
     if not CATALOG.meta_exists(p.docs_marker):
-        m = build_index(spark, batch, root, cfg, segments=1,
-                        input_desc=input_desc or "bootstrap batch")
-        if batch_id is not None:
-            meta0 = CATALOG.read_meta(p.docs_marker)
-            meta0["last_batch_id"] = int(batch_id)
-            CATALOG.write_meta(p.docs_marker, meta0)
-        return m
+        # last_batch_id is part of the bootstrap marker's atomic write
+        # (ADVICE r3): a crash between two separate writes used to leave a
+        # marker with no replay-guard key, so a replayed bootstrap batch
+        # re-indexed the same rows under fresh doc_ids
+        return build_index(
+            spark, batch, root, cfg, segments=1,
+            input_desc=input_desc or "bootstrap batch",
+            extra_docs_meta=(None if batch_id is None
+                             else {"last_batch_id": int(batch_id)}))
     t0 = now()
     meta = CATALOG.read_meta(p.docs_marker)
     if batch_id is not None and meta.get("last_batch_id") is not None \
@@ -75,9 +77,15 @@ def append_segment(spark: SparkSession, root: str, batch: DataFrame,
                             partition_by="seg", dynamic=True)
         tf = tokenize_with_fields(
             ids.select("doc_id", "text", *cfg.fields), cfg)
-        n_hot = invert_and_write_segment(spark, p, seg, cfg, tf,
-                                         (base, int(max_id)))
-        write_segment_manifest(spark, p, seg, cfg, n_hot, t0)
+        # persist: the census, inversion, and impact-sidecar passes all
+        # consume tf — cache once instead of re-tokenizing per pass
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            inv = invert_and_write_segment(spark, p, seg, cfg, tf,
+                                           (base, int(max_id)))
+            write_segment_manifest(spark, p, seg, cfg, inv, t0)
+        finally:
+            tf.unpersist()
     finally:
         ids.unpersist()
 

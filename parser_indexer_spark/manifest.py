@@ -72,6 +72,18 @@ class IndexPaths:
         return os.path.join(self.dict_segs, f"seg={seg}")
 
     @property
+    def impacts(self) -> str:
+        return os.path.join(self.root, "impacts")
+
+    def impacts_seg(self, seg: int) -> str:
+        """Per-segment impact sidecar (term, bucket, doc_id, tf, dl): the
+        top-I postings of each high-df term by score upper bound, plus one
+        bound row (doc_id = -1) carrying (max tf, min dl) over the postings
+        NOT in the sidecar — the lossless early-exit certificate for
+        head-term queries [public: Lucene 8 impacts]."""
+        return os.path.join(self.impacts, f"seg={seg}")
+
+    @property
     def stats(self) -> str:
         return os.path.join(self.root, "stats.json")
 

@@ -31,17 +31,18 @@ from parser_indexer_spark.build import (
     TOKENIZE_TF_SCHEMA, finalize_index, invert_and_write_segment,
     read_postings, write_segment_manifest,
 )
-from parser_indexer_spark.codec import decode, delta_decode
+from parser_indexer_spark.codec import decode, delta_decode, varint_slices
 from parser_indexer_spark.config import EngineConfig
 from parser_indexer_spark.manifest import CATALOG, IndexPaths, now
 
 
 def _decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Posting blocks -> raw (doc_id, term, tf, dl, pos_gaps) rows,
-    vectorized. Position payloads pass through as per-posting GAP arrays —
-    the re-inversion re-slices them into new blocks without ever
-    reconstructing absolute positions (gaps are within-doc, so they are
-    layout-independent)."""
+    vectorized. Position payloads pass through as per-posting raw LEB128
+    gap slices (same binary wire as the tokenize stage) — the re-inversion
+    byte-joins them into new blocks without ever reconstructing absolute
+    positions (gaps are within-doc, so they are layout-independent). Old
+    FOR-coded position payloads are transcoded to varint here once."""
     for pdf in batches:
         if pdf.empty:
             continue
@@ -55,8 +56,10 @@ def _decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             terms.append(np.full(n, r.term, dtype=object))
             if r.pos_enc is not None:
                 npos = int(tf.sum())
-                gaps = decode(r.pos_enc, npos).astype(np.int32)
-                pgs.extend(np.split(gaps, np.cumsum(tf.astype(np.int64))[:-1]))
+                gaps = decode(r.pos_enc, npos)
+                starts = np.concatenate(
+                    ([0], np.cumsum(tf.astype(np.int64))[:-1]))
+                pgs.extend(varint_slices(gaps, starts))
             else:
                 pgs.extend([None] * n)
         yield pd.DataFrame({
@@ -66,6 +69,16 @@ def _decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "dl": np.concatenate(ls),
             "pos_gaps": pgs,
         })
+
+
+def _with_pos_col(blocks: DataFrame) -> DataFrame:
+    """Back-compat shim (ADVICE r3): posting parquet written before the
+    positional format has no pos_enc column at all; add it as a null
+    binary literal so _decode_blocks (and the re-inversion) treat the old
+    segments exactly like a positions=False build."""
+    if "pos_enc" not in blocks.columns:
+        blocks = blocks.withColumn("pos_enc", F.lit(None).cast("binary"))
+    return blocks
 
 
 def merge_index(spark: SparkSession, src_root: str, dst_root: str,
@@ -87,15 +100,20 @@ def merge_index(spark: SparkSession, src_root: str, dst_root: str,
     docs_meta["segments"] = 1
     CATALOG.write_meta(dp.docs_marker, docs_meta)
 
-    blocks = read_postings(spark, src_root)
+    blocks = _with_pos_col(read_postings(spark, src_root))
     tf = blocks.select("term", "num_docs", "first_doc_id",
                        "docs_enc", "tfs_enc", "dls_enc", "pos_enc") \
                .mapInPandas(_decode_blocks, TOKENIZE_TF_SCHEMA)
     lo = min(s["doc_lo"] for s in src_manifest["segments"])
     hi = max(s["doc_hi"] for s in src_manifest["segments"])
     ts0 = now()
-    n_hot = invert_and_write_segment(spark, dp, 0, cfg, tf, (lo, hi))
-    write_segment_manifest(spark, dp, 0, cfg, n_hot, ts0)
+    from pyspark.storagelevel import StorageLevel
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)  # census+invert+impacts
+    try:
+        inv = invert_and_write_segment(spark, dp, 0, cfg, tf, (lo, hi))
+        write_segment_manifest(spark, dp, 0, cfg, inv, ts0)
+    finally:
+        tf.unpersist()
     manifest = finalize_index(spark, dst_root, cfg, docs_meta, 1,
                               input_desc=f"merge of {src_root} "
                                          f"({src_manifest['n_segments']} segments)",
@@ -156,14 +174,19 @@ def compact_segments(spark: SparkSession, root: str, segs: list[int],
     meta = CATALOG.read_meta(p.docs_marker)
     new_seg = max(max(live), int(meta["segments"]) - 1) + 1
 
-    blocks = read_postings(spark, root, segs=segs)
+    blocks = _with_pos_col(read_postings(spark, root, segs=segs))
     tf = blocks.select("term", "num_docs", "first_doc_id",
                        "docs_enc", "tfs_enc", "dls_enc", "pos_enc") \
                .mapInPandas(_decode_blocks, TOKENIZE_TF_SCHEMA)
     lo = min(live[s]["doc_lo"] for s in segs)
     hi = max(live[s]["doc_hi"] for s in segs)
-    n_hot = invert_and_write_segment(spark, p, new_seg, cfg, tf, (lo, hi))
-    write_segment_manifest(spark, p, new_seg, cfg, n_hot, t0)
+    from pyspark.storagelevel import StorageLevel
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)  # census+invert+impacts
+    try:
+        inv = invert_and_write_segment(spark, p, new_seg, cfg, tf, (lo, hi))
+        write_segment_manifest(spark, p, new_seg, cfg, inv, t0)
+    finally:
+        tf.unpersist()
 
     # allocation watermark: future appends start above the compacted id
     meta["segments"] = new_seg + 1
@@ -175,5 +198,6 @@ def compact_segments(spark: SparkSession, root: str, segs: list[int],
     for s in segs:  # only after the commit stopped referencing them
         shutil.rmtree(p.postings_seg(s), ignore_errors=True)
         shutil.rmtree(p.dict_seg(s), ignore_errors=True)
+        shutil.rmtree(p.impacts_seg(s), ignore_errors=True)
         os.remove(p.segment_manifest(s))
     return manifest

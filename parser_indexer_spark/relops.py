@@ -445,31 +445,64 @@ def lang_guess(spark, sf_dir):
 
 
 # character-trigram profiles (hand-built from public orthography facts:
-# most-frequent character trigrams of each language; the classic n-gram
-# profile method of Cavnar & Trenkle 1994). Spaces mark word boundaries.
+# most-frequent character trigrams of each language, RANK-ORDERED most
+# frequent first; the classic n-gram profile method of Cavnar & Trenkle
+# 1994). Spaces mark word boundaries. Scoring is weighted presence —
+# weight = profile_len - rank — a monotone approximation of the C-T
+# out-of-place distance that stays a pure JVM/DuckDB boolean expression
+# (VERDICT r3 #8: wider profiles + rank-aware scoring). No apostrophes
+# (they would need SQL escaping in the generated oracle).
 _TRIGRAM_PROFILES = {
     "de": [" de", "der", "ein", "ich", "sch", "die", "und", " un", "cht",
-           "gen", "ung", " ge", "nde", "ber", "das"],
+           "gen", "ung", " ge", "nde", "ber", "das", "ten", "den", " di",
+           "ine", " ei", "che", "ver", " ve", "ens", "lic", "ier", "eit",
+           "hen", " zu", "ang", " au", "auf", "ist", " is", "ese", "ndi",
+           "nen", "and", "rde", "ste", "sei", " se", "wir", " wi", "mit",
+           " mi", "ach", "ner", "run", "wei", "ehe", "nic", "ht ",
+           "ei ", "er ", "en ", "ch ", "te ", "ng ", "nd ", "ie "],
     "en": [" th", "the", "ing", " an", "and", "ion", " of", " to", "ent",
-           "tio", "for", " in", "his", "ere", "ng "],
+           "tio", "for", " in", "his", "ere", "ng ", "her", "hat", " wh",
+           "tha", "ati", " co", "ter", "was", " wa", "ver", "all", " be",
+           "ith", "wit", " wi", "ave", " ha", "has", "not", " no", "are",
+           " ar", "is ", " is", "ed ", "es ", " re", "ons", "ome", " on",
+           "oul", "uld", "ld ", "you", " yo", "ts ", "nt ", "of ", "to ",
+           "at ", "in ", "e t", "t t", "s t", " a "],
     "es": ["que", " qu", "ión", " la", " el", "los", "ado", "est", " es",
-           "nte", "cio", " co", "as ", "ien", "aci"],
+           "nte", "cio", " co", "as ", "ien", "aci", " en", "ent", " un",
+           "una", "con", "por", " po", "par", " pa", "ara", " de", "de ",
+           "del", "la ", "el ", "os ", "es ", "al ", " se", "se ", "ndo",
+           "sta", "ció", "nci", "ida", "dad", " no", "no ", " al",
+           "ant", "tra", " tr", "res", "ore", "ist", "o d", "a d", "e l",
+           "a l", "o e", "a e", "os ", "ón ", "an ", "ar "],
     "fr": [" le", "les", "ent", "des", " pa", "eur", "ais", "our", " et",
-           "ons", "ait", "aux", "nce", "éta", "ouv"],
+           "ons", "ait", "aux", "nce", "éta", "ouv", " de", "de ", " la",
+           "la ", "le ", "et ", "es ", " co", "con", "ion", "tio", "men",
+           " me", "que", " qu", "ue ", " un", "une", "ne ", "re ", " re",
+           "ur ", "eme", "nte", "ant", "dan", " da", "ans", "ns ", "pou",
+           " po", "vou", " vo", "ous", "us ", "ont", "nt ",
+           "it ", "st ", " il", "il ", "ce ", " ce", "e l", "e d"],
+}
+# profiles must be duplicate-free or the weighted sum double-counts
+_TRIGRAM_PROFILES = {
+    lg: list(dict.fromkeys(tris)) for lg, tris in _TRIGRAM_PROFILES.items()
 }
 
 
 def lang_trigram_df(d: DataFrame) -> DataFrame:
-    """Character-trigram-profile language ID (B5 upgrade over the
-    phrasebook heuristic; Cavnar-Trenkle-style): per language, count how
-    many of its top trigrams occur in the lowercased text; argmax with
-    deterministic language-code tie-break. Pure JVM boolean expressions
-    (no UDF), so it's whole-stage-codegen'd AND DuckDB-verifiable."""
+    """Character-trigram-profile language ID (B5; Cavnar-Trenkle-style):
+    per language, RANK-WEIGHTED presence of its top trigrams in the
+    lowercased text (weight = profile_len - rank, so the most frequent
+    trigrams dominate — a monotone stand-in for the C-T out-of-place
+    distance); argmax with deterministic language-code tie-break. Pure
+    JVM boolean expressions (no UDF), whole-stage-codegen'd AND
+    DuckDB-verifiable."""
     tl = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     scores = {}
     for lang, tris in _TRIGRAM_PROFILES.items():
+        n = len(tris)
         scores[lang] = sum(
-            [F.when(tl.contains(tri), 1).otherwise(0) for tri in tris],
+            [F.when(tl.contains(tri), n - i).otherwise(0)
+             for i, tri in enumerate(tris)],
             F.lit(0))
     langs = sorted(_TRIGRAM_PROFILES)
     # sequential argmax: first language (alphabetically) whose score >= all
@@ -689,13 +722,18 @@ def _ann_lsh_multi(spark, sf_dir, k, n_tables, n_planes):
         F.lit(0.0), lambda acc, x: acc + x))
     qn = float(sum(float(x) * float(x) for x in qe)) ** 0.5
     cos = dot / (nrm * F.lit(qn))
-    cand = None
-    for t in range(n_tables):  # union of per-table bucket lookups
-        part = with_b.where((F.col(f"b{t}") == int(q[f"b{t}"]))
-                            & (F.col("vec_id") != 0))
-        cand = part if cand is None else cand.unionByName(part)
-    return (cand.select("vec_id", "embedding").dropDuplicates(["vec_id"])
-                .select("vec_id", cos.alias("_exact"))
+    # ONE scan with an OR-of-band-equalities predicate (VERDICT r3 #5):
+    # the candidate set is identical to the 16-way union of per-table
+    # lookups, but the embeddings table is read once and no distinct
+    # shuffle is needed (a row matches the predicate once, however many
+    # tables agree). On the materialized path (ann.py) the same predicate
+    # becomes a partition-pruned read of the (t, b)-partitioned table.
+    cond = None
+    for t in range(n_tables):
+        c = F.col(f"b{t}") == int(q[f"b{t}"])
+        cond = c if cond is None else (cond | c)
+    cand = with_b.where(cond & (F.col("vec_id") != 0))
+    return (cand.select("vec_id", cos.alias("_exact"))
                 .orderBy(F.desc("_exact"), F.asc("vec_id")).limit(k)
                 .select("vec_id", F.round("_exact", 6).alias("cosine")))
 

@@ -33,6 +33,7 @@ FIXTURES.md §3) so engine == oracle bit-for-bit modulo the documented
 from __future__ import annotations
 
 import math
+import zlib
 from typing import Iterator, Optional
 
 import numpy as np
@@ -93,14 +94,29 @@ class Index:
         self._postings_df = read_postings(spark, root)
         self._dict_df = read_dict(spark, root)
         # doc_filter -> broadcast allowed-set cache (ADVICE r2): broadcasts
-        # are reused across repeated filtered queries and DESTROYED on
-        # eviction / close(), so a long-lived handle doesn't accumulate
-        # driver+executor memory.
+        # are reused across repeated filtered queries; evicted entries are
+        # unpersisted (re-broadcastable), destroy() only on close().
         self._filter_bc: dict[str, object] = {}
         self._filter_bc_max = 8
+        # impact sidecar (head-term early exit + theta seeding [public:
+        # Lucene 8 impacts]): per-segment top-I postings of high-df terms.
+        # Only head terms ever populate the caches, so they stay tiny.
+        self._impact_segs = [s["seg"] for s in self.manifest["segments"]
+                             if s.get("n_impact_terms", 0) > 0]
+        self._impacts_df = None
+        if self._impact_segs:
+            ip = IndexPaths(root)
+            self._impacts_df = CATALOG.read_table(
+                spark, *[ip.impacts_seg(s) for s in self._impact_segs],
+                base_path=ip.impacts)
+        self._impact_cache: dict[str, pd.DataFrame] = {}
+        self._seg_df_cache: dict[str, set] = {}
+        self._postings_pruned: dict[tuple, Optional[DataFrame]] = {}
 
     def close(self) -> None:
-        """Release broadcast state held by this handle."""
+        """Release broadcast state held by this handle. NOTE: destroys the
+        filter broadcasts, so DataFrames previously returned by filtered
+        queries on this handle must not be re-executed afterwards."""
         for bc in self._filter_bc.values():
             if bc is not None:
                 bc.destroy()
@@ -138,6 +154,132 @@ class Index:
                     self._dict_cache[t] = int(found.get(t, 0))
         return {t: self._dict_cache[t] for t in terms}
 
+    # ---------------------------------------------------- impact sidecar ---
+    def _impact_rows(self, terms: list) -> dict:
+        """Collect (and cache) the impact-sidecar rows of ``terms`` in ONE
+        bucket/term-pruned job. Rows: (term, seg, doc_id, tf, dl) with
+        doc_id = -1 marking the per-(term, segment) rest bound. Terms whose
+        global df <= impact_df_threshold can have no rows (per-segment df
+        <= global df) and are skipped without a job."""
+        missing = [t for t in terms if t not in self._impact_cache]
+        if missing and self._impacts_df is not None:
+            buckets = sorted({term_bucket(t, self.cfg.n_buckets)
+                              for t in missing})
+            pdf = (self._impacts_df
+                   .where(F.col("bucket").isin(buckets))
+                   .where(F.col("term").isin(missing))
+                   .select("term", "seg", "doc_id", "tf", "dl").toPandas())
+            for t in missing:
+                self._impact_cache[t] = \
+                    pdf[pdf["term"] == t].reset_index(drop=True)
+        return {t: self._impact_cache.get(t) for t in terms}
+
+    def _segs_containing(self, term: str) -> set:
+        """Live segments whose per-segment dictionary contains ``term``
+        (pruned read of the tiny dict_segs table; cached per term). Used
+        only to validate sidecar coverage on multi-segment indexes."""
+        if term in self._seg_df_cache:
+            return self._seg_df_cache[term]
+        ip = IndexPaths(self.root)
+        live = [s["seg"] for s in self.manifest["segments"]]
+        dd = CATALOG.read_table(self.spark, *[ip.dict_seg(s) for s in live],
+                                base_path=ip.dict_segs)
+        rows = (dd.where(F.col("bucket") ==
+                         term_bucket(term, self.cfg.n_buckets))
+                .where(F.col("term") == term).select("seg").collect())
+        res = {int(r["seg"]) for r in rows}
+        self._seg_df_cache[term] = res
+        return res
+
+    def _impact_topk_single(self, term: str, idf_t: float, df_t: int,
+                            k: int):
+        """Head-term early exit [public: Lucene 8 impacts / Anh & Moffat
+        2006]: answer a single-term top-k ENTIRELY from the sidecar — zero
+        posting blocks decoded — when the k-th sidecar score strictly
+        beats the exact (max tf, min dl) bound over every posting the
+        sidecar excludes. Returns an ordered k-row DataFrame, or None to
+        fall back to the full scan (coverage gap, bound too tight, or
+        k > sidecar size). Lossless: excluded postings score <= bound <
+        theta under any avgdl, and equal-score ties at the boundary cannot
+        occur because acceptance requires strict separation."""
+        rows = self._impact_rows([term]).get(term)
+        if rows is None or rows.empty:
+            return None
+        bounds = rows[rows["doc_id"] < 0]
+        cands = rows[rows["doc_id"] >= 0]
+        covered = {int(s) for s in bounds["seg"]}
+        live = {s["seg"] for s in self.manifest["segments"]}
+        if covered != live:
+            # term may have (un-bounded) postings in an uncovered segment:
+            # allowed only if its per-segment dicts say it is absent there
+            if not self._segs_containing(term).issubset(covered):
+                return None
+        k1, b = self.cfg.k1, self.cfg.b
+        avg = self.stats["avg_dl"]
+        tf = cands["tf"].to_numpy(dtype=np.float64)
+        dl = cands["dl"].to_numpy(dtype=np.float64)
+        d = cands["doc_id"].to_numpy(dtype=np.int64)
+        sc = idf_t * (tf / (tf + k1 * (1.0 - b + b * dl / avg)))
+        order = np.lexsort((d, -sc))
+        d, sc = d[order], sc[order]
+        btf = bounds["tf"].to_numpy(dtype=np.float64)
+        bdl = bounds["dl"].to_numpy(dtype=np.float64)
+        bound = float(np.max(
+            idf_t * (btf / (btf + k1 * (1.0 - b + b * bdl / avg)))))
+        if d.size >= k:
+            theta = float(sc[k - 1])
+            if theta - bound <= _PRUNE_EPS * max(1.0, abs(theta)):
+                return None            # not strictly separated -> full scan
+            d, sc = d[:k], sc[:k]
+        elif d.size < df_t:
+            return None                # incomplete and cannot fill k
+        return self.spark.createDataFrame(
+            pd.DataFrame({"doc_id": d.astype(np.int64),
+                          "score": sc.astype(np.float64)}),
+            "doc_id long, score double")
+
+    def _impact_theta0(self, terms, idf, avg_dl, k, mode) -> float:
+        """WAND theta seed from the impact sidecars (replaces the two-job
+        _seed_theta whenever a query term is sidecar-covered — the collect
+        is one tiny pruned read, cached per term). OR: per-doc PARTIAL
+        sums over sidecar-present terms are lower bounds of real achieved
+        scores, so their k-th largest is a valid theta0. AND: restricted
+        to docs present in EVERY term's sidecar (those provably match all
+        terms and their sums are exact)."""
+        if self._impacts_df is None:
+            return 0.0
+        thr = self.cfg.impact_df_threshold
+        big = [t for t in terms if self._dict_cache.get(t, thr + 1) > thr]
+        if not big:
+            return 0.0
+        rows = self._impact_rows(big)
+        k1, b = self.cfg.k1, self.cfg.b
+        per = []
+        for t in (terms if mode == "AND" else big):
+            r = rows.get(t)
+            if r is None or r.empty or (r["doc_id"] >= 0).sum() == 0:
+                if mode == "AND":
+                    return 0.0      # intersection requires every term
+                continue
+            c = r[r["doc_id"] >= 0]
+            avg = float(avg_dl[t]) if isinstance(avg_dl, dict) else avg_dl
+            tfa = c["tf"].to_numpy(dtype=np.float64)
+            dla = c["dl"].to_numpy(dtype=np.float64)
+            s = idf[t] * (tfa / (tfa + k1 * (1.0 - b + b * dla / avg)))
+            per.append(pd.DataFrame({"doc_id": c["doc_id"].to_numpy(),
+                                     "s": s, "t": t}))
+        if not per:
+            return 0.0
+        allr = pd.concat(per, ignore_index=True)
+        if mode == "AND":
+            g = allr.groupby("doc_id").agg(n=("t", "nunique"), s=("s", "sum"))
+            sc = g[g["n"] == len(terms)]["s"].to_numpy()
+        else:
+            sc = allr.groupby("doc_id")["s"].sum().to_numpy()
+        if sc.size < k:
+            return 0.0
+        return float(np.partition(sc, -k)[-k])
+
     # ----------------------------------------------------------- search ---
     def search(self, query: str, k: int = 10, mode: str = "OR",
                doc_filter: Optional[str] = None, prune: bool = True,
@@ -174,6 +316,13 @@ class Index:
         n_docs = self.stats["n_docs"]
         avg_dl = self.stats["avg_dl"]
         idf = {t: bm25_idf(n_docs, dfs[t]) for t in terms}
+        if (len(terms) == 1 and doc_filter is None and after is None
+                and prune and k <= self.cfg.impact_top
+                and dfs[terms[0]] > self.cfg.impact_df_threshold):
+            fast = self._impact_topk_single(terms[0], idf[terms[0]],
+                                            dfs[terms[0]], k)
+            if fast is not None:
+                return fast
         return self._search_terms(
             terms, dfs, idf, avg_dl, k=k, mode=mode, doc_filter=doc_filter,
             prune=prune, score_partitions=score_partitions, after=after,
@@ -207,10 +356,22 @@ class Index:
         terms, boost_of, avg_of = [], {}, {}
         favg = self.stats.get("fields", {})
         for f, q in field_queries.items():
+            if f != "text" and favg.get(f) is None:
+                # the field is configured but produced NO postings (e.g.
+                # all-null column): no document can match its leg — treat
+                # as zero-score rather than KeyError (ADVICE r3). AND mode
+                # falls through to the required-term df==0 check below.
+                if mode == "AND" and tokenize_py(q, self.cfg.stopwords):
+                    return empty
+                continue
             for t in sorted(set(tokenize_py(q, self.cfg.stopwords))):
                 ft = t if f == "text" else f"{f}:{t}"
                 terms.append(ft)
                 boost_of[ft] = float(boosts.get(f, 1.0))
+                # per-field avgdl normalizes by the FULL n_docs (documented
+                # deviation: sparse fields score as if absent rows had
+                # dl=0 folded into the mean — consistent with how sum_dl
+                # is accumulated in stats.json)
                 avg_of[ft] = (self.stats["avg_dl"] if f == "text"
                               else favg[f]["avg_dl"])
         terms = sorted(set(terms))
@@ -228,7 +389,8 @@ class Index:
             terms, dfs, idf, {t: avg_of[t] for t in terms}, k=k, mode=mode,
             doc_filter=doc_filter, prune=prune,
             score_partitions=score_partitions, after=after,
-            seed_theta=False)  # θ-seed's SQL leg assumes one global avgdl
+            seed_theta=None)  # sidecar seed handles per-field avgdl; the
+                              # metadata-agg seed self-disables on dicts
 
     def _search_terms(self, terms, dfs, idf, avg_dl, k, mode, doc_filter,
                       prune, score_partitions, after, seed_theta):
@@ -238,13 +400,6 @@ class Index:
         spark = self.spark
         empty = spark.createDataFrame([], "doc_id long, score double")
         buckets = sorted({term_bucket(t, self.cfg.n_buckets) for t in terms})
-        blocks = (
-            self._postings_df
-            .where(F.col("bucket").isin(buckets))
-            .where(F.col("term").isin(terms))
-            .select("term", "chunk", "first_doc_id", "num_docs",
-                    "max_tf", "min_dl", "docs_enc", "tfs_enc", "dls_enc")
-        )
         # D9 filters: a selective filter is broadcast INTO the scorer (the
         # allowed doc_id set, sorted), so heap truncation + WAND keep
         # bounding the candidate set; only a huge filter side falls back to
@@ -253,6 +408,17 @@ class Index:
             self._resolve_filter(doc_filter)
         if is_empty:
             return empty
+        src = self._postings_for_filter(allowed_bc)
+        if src is None:
+            return empty       # filter range misses every live segment
+        blocks = (
+            src
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(terms))
+            .select("term", "chunk", "first_doc_id", "last_doc_id",
+                    "num_docs", "max_tf", "min_dl",
+                    "docs_enc", "tfs_enc", "dls_enc")
+        )
         # scoring width grows with THIS QUERY's posting volume (VERDICT r1
         # #2): ~512 blocks per task, estimated from the terms' dfs — NOT
         # from total index size (total-blocks sizing gave a 4M-turn index
@@ -263,10 +429,15 @@ class Index:
             256, max(4, len(buckets) * 2, q_blocks // 512))
         theta0 = 0.0
         if (prune and truncate and allowed_bc is None and after is None
-                and seed_theta is not False
-                and (seed_theta is True
-                     or q_blocks >= THETA_SEED_MIN_BLOCKS)):
-            theta0 = self._seed_theta(blocks, terms, idf, avg_dl, k, mode)
+                and seed_theta is not False):
+            # sidecar seed first: one tiny cached pruned read, works for
+            # per-field avgdl too; the metadata-agg seed (two jobs) only
+            # runs for wide fan-outs the sidecar couldn't seed
+            theta0 = self._impact_theta0(terms, idf, avg_dl, k, mode)
+            if theta0 <= 0.0 and (seed_theta is True
+                                  or q_blocks >= THETA_SEED_MIN_BLOCKS):
+                theta0 = self._seed_theta(blocks, terms, idf, avg_dl, k,
+                                          mode)
         scorer = _make_scorer(
             terms=terms, idf=idf, k1=self.cfg.k1, b=self.cfg.b,
             avg_dl=avg_dl, k=k, mode=mode, prune=prune and truncate,
@@ -284,6 +455,7 @@ class Index:
 
     # ----------------------------------------------------------- phrase ---
     def phrase(self, query: str, k: int = 10, slop: int = 0,
+               field: str = "text",
                doc_filter: Optional[str] = None, prune: bool = True,
                score_partitions: Optional[int] = None,
                after: Optional[tuple] = None) -> DataFrame:
@@ -314,46 +486,73 @@ class Index:
             raise ValueError(
                 "index was built with positions=False; phrase queries "
                 "need positional postings")
-        toks = tokenize_py(query, self.cfg.stopwords)
+        if field != "text" and field not in self.cfg.fields:
+            raise ValueError(f"field {field!r} not indexed "
+                             f"(cfg.fields={list(self.cfg.fields)})")
         spark = self.spark
         empty = spark.createDataFrame([], "doc_id long, score double")
-        if not toks:
+        base_toks = tokenize_py(query, self.cfg.stopwords)
+        if not base_toks:
             return empty
+        # fielded phrase (field:"exact phrase", Solr analogue): the SAME
+        # positional machinery runs over the "<field>:<term>" postings,
+        # whose dl and positions are the field's own; BM25 normalizes by
+        # the field's avgdl (stats.json per-field stats)
+        toks = (base_toks if field == "text"
+                else [f"{field}:{t}" for t in base_toks])
+        if field == "text":
+            avg_dl = self.stats["avg_dl"]
+        else:
+            favg = self.stats.get("fields", {}).get(field)
+            if favg is None:      # configured field emitted no postings
+                return empty
+            avg_dl = favg["avg_dl"]
         uniq = sorted(set(toks))
         dfs = self.term_stats(uniq)
         # a phrase containing an index-absent term matches nothing
         if any(dfs[t] == 0 for t in uniq):
             return empty
         if len(toks) == 1:
-            # single-term phrase == single-term BM25 (phrase_tf == tf)
-            return self.search(query, k=k, doc_filter=doc_filter,
-                               prune=prune,
-                               score_partitions=score_partitions,
-                               after=after)
+            if field == "text":
+                # single-term phrase == single-term BM25 (phrase_tf == tf)
+                return self.search(query, k=k, doc_filter=doc_filter,
+                                   prune=prune,
+                                   score_partitions=score_partitions,
+                                   after=after)
+            n_docs = self.stats["n_docs"]
+            t0 = toks[0]
+            return self._search_terms(
+                [t0], dfs, {t0: bm25_idf(n_docs, dfs[t0])}, {t0: avg_dl},
+                k=k, mode="OR", doc_filter=doc_filter, prune=prune,
+                score_partitions=score_partitions, after=after,
+                seed_theta=None)
         n_docs = self.stats["n_docs"]
         idf = {t: bm25_idf(n_docs, dfs[t]) for t in uniq}
         idf_sum = float(sum(idf[t] for t in toks))
 
         buckets = sorted({term_bucket(t, self.cfg.n_buckets) for t in uniq})
+        allowed_bc, allowed_df, truncate, is_empty = \
+            self._resolve_filter(doc_filter)
+        if is_empty:
+            return empty
+        src = self._postings_for_filter(allowed_bc)
+        if src is None:
+            return empty       # filter range misses every live segment
         blocks = (
-            self._postings_df
+            src
             .where(F.col("bucket").isin(buckets))
             .where(F.col("term").isin(uniq))
             .select("term", "chunk", "first_doc_id", "num_docs",
                     "max_tf", "min_dl", "docs_enc", "tfs_enc", "dls_enc",
                     "pos_enc")
         )
-        allowed_bc, allowed_df, truncate, is_empty = \
-            self._resolve_filter(doc_filter)
-        if is_empty:
-            return empty
         # candidate volume is bounded by the rarest term's postings
         q_blocks = min(dfs[t] for t in uniq) // max(1, self.cfg.block_size)
         np_parts = score_partitions or min(
             256, max(4, len(buckets) * 2, q_blocks // 512))
         scorer = _make_phrase_scorer(
             phrase_terms=list(toks), idf_sum=idf_sum, k1=self.cfg.k1,
-            b=self.cfg.b, avg_dl=self.stats["avg_dl"], k=k, slop=slop,
+            b=self.cfg.b, avg_dl=avg_dl, k=k, slop=slop,
             prune=prune and truncate, truncate=truncate,
             chunk_bits=self.cfg.chunk_bits, allowed_bc=allowed_bc,
             after=after)
@@ -365,6 +564,33 @@ class Index:
         if doc_filter is not None and allowed_bc is None:
             cand = cand.join(allowed_df, "doc_id", "left_semi")
         return cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _postings_for_filter(self, allowed_bc):
+        """Segment pruning under doc filters (VERDICT r3 #9): every
+        segment manifest row carries its doc_id range [doc_lo, doc_hi];
+        when a broadcast filter's allowed set misses a segment's range
+        entirely, that segment's posting files are excluded from the scan
+        relation (file-level pruning on top of the bucket/term pruning).
+        Returns the postings DataFrame to scan, or None if NO segment can
+        contain an allowed doc. Pruned relations are cached per surviving
+        segment set."""
+        segs_all = self.manifest["segments"]
+        if allowed_bc is None or len(segs_all) <= 1:
+            return self._postings_df
+        arr = allowed_bc.value
+        surv = []
+        for s in segs_all:
+            i = int(np.searchsorted(arr, s["doc_lo"]))
+            if i < arr.size and arr[i] <= s["doc_hi"]:
+                surv.append(s["seg"])
+        if len(surv) == len(segs_all):
+            return self._postings_df
+        key = tuple(surv)
+        if key not in self._postings_pruned:
+            self._postings_pruned[key] = (
+                read_postings(self.spark, self.root, segs=surv)
+                if surv else None)
+        return self._postings_pruned[key]
 
     def _resolve_filter(self, doc_filter: Optional[str]):
         """doc_filter -> (allowed_bc, allowed_df, truncate, is_empty).
@@ -393,7 +619,13 @@ class Index:
             oldest = next(iter(self._filter_bc))   # FIFO eviction
             old = self._filter_bc.pop(oldest)
             if old is not None:
-                old.destroy()
+                # unpersist, NOT destroy (ADVICE r3): a previously returned
+                # DataFrame is lazily re-executable and may still capture
+                # this broadcast in its scorer closure; unpersist drops the
+                # executor copies but lets a re-run re-broadcast from the
+                # driver value. destroy() is reserved for close(), which
+                # documents that it invalidates outstanding DataFrames.
+                old.unpersist(blocking=False)
         self._filter_bc[doc_filter] = allowed_bc
         if allowed_bc is None:
             return None, allowed_df, False, False
@@ -431,6 +663,35 @@ class Index:
         if len(out) < k:
             return 0.0
         return float(out["score"].min())
+
+    # ------------------------------------------------------- spellcheck ---
+    def build_spell_index(self) -> None:
+        """D14 spellcheck scale path (VERDICT r3 #6 / r2 #5): persist the
+        char-bigram -> term inverted map at <root>/spell (see
+        build_spell_table)."""
+        import os
+        build_spell_table(self._dict_df, os.path.join(self.root, "spell"))
+
+    def spellcheck(self, word: str, max_dist: int = 2,
+                   limit: int = 5) -> DataFrame:
+        """Nearest dictionary terms to ``word`` via the bucket-pruned
+        spell table when build_spell_index() ran, else via a dict scan
+        with the same candidate predicate (see spellcheck_table for the
+        candidate semantics)."""
+        import os
+        spell_dir = os.path.join(self.root, "spell")
+        if os.path.isdir(spell_dir):
+            return spellcheck_table(self.spark, spell_dir, word,
+                                    max_dist=max_dist, limit=limit)
+        bgs = sorted({word[i:i + 2] for i in range(len(word) - 1)})
+        pred = None
+        for g in bgs:
+            c = F.col("term").contains(g)
+            pred = c if pred is None else (pred | c)
+        cand = self._dict_df.select("term", "df")
+        if pred is not None:
+            cand = cand.where(pred)
+        return _spell_rank(cand, word, max_dist, limit)
 
     def fetch(self, topk: DataFrame) -> DataFrame:
         """A6 doc-store fetch: join top-k ids back to stored fields; the
@@ -538,6 +799,45 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
     def tf_norm(tf, dl, avg):
         return tf / (tf + k1 * (1.0 - b + b * dl / avg))
 
+    def decode_term(sel: pd.DataFrame, member):
+        """Decode one term's block rows of a chunk. ``member``: optional
+        sorted int64 doc set — only blocks whose [first_doc_id,
+        last_doc_id] range intersects it are decoded (block-level skipping,
+        the MaxScore non-essential-list lookup [public: Turtle & Flood
+        1995; Lucene MaxScore]), and decoded postings are filtered to
+        membership. Returns (docs, tfs, dls) sorted by doc, or None if
+        nothing survives."""
+        if member is not None and len(sel):
+            fd = sel["first_doc_id"].to_numpy(dtype=np.int64)
+            ld = sel["last_doc_id"].to_numpy(dtype=np.int64)
+            lo = np.searchsorted(member, fd, side="left")
+            lo_c = np.minimum(lo, member.size - 1)
+            sel = sel[(lo < member.size) & (member[lo_c] <= ld)]
+        if not len(sel):
+            return None
+        ds, ts_, ls = [], [], []
+        for r in sel.itertuples():
+            n = int(r.num_docs)
+            ds.append(delta_decode(decode(r.docs_enc, n), int(r.first_doc_id)))
+            ts_.append(decode(r.tfs_enc, n).astype(np.float64))
+            ls.append(decode(r.dls_enc, n).astype(np.float64))
+        d = np.concatenate(ds)
+        # blocks of a salted term interleave doc ranges (two salt groups
+        # of one term may share a build partition and emit one merged run
+        # that skips the middle salt's range) — re-sort after decode.
+        order = np.argsort(d)
+        d = d[order]
+        tf_a = np.concatenate(ts_)[order]
+        dl_a = np.concatenate(ls)[order]
+        if member is not None:
+            pos = np.searchsorted(member, d)
+            pos_c = np.minimum(pos, member.size - 1)
+            keep = member[pos_c] == d
+            if not keep.any():
+                return None
+            d, tf_a, dl_a = d[keep], tf_a[keep], dl_a[keep]
+        return d, tf_a, dl_a
+
     def score_chunk(rows: pd.DataFrame, heap_docs, heap_scores):
         """rows: all block rows of ONE chunk. Returns updated heap arrays."""
         allowed_chunk = None
@@ -552,61 +852,43 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
         theta = heap_scores[-1] if truncate and len(heap_scores) == k else None
         if theta0 > 0.0:
             theta = theta0 if theta is None else max(theta, theta0)
-        present = rows["term"].to_numpy()
-        uniq_terms = pd.unique(present)
-        if mode == "AND" and len(uniq_terms) < m:
+        tarr = rows["term"].to_numpy()
+        sel_of = {t: rows[tarr == t] for t in terms_sorted
+                  if (tarr == t).any()}
+        if mode == "AND" and len(sel_of) < m:
             return heap_docs, heap_scores
+        ubs = {}
+        margin = 0.0
         if prune and theta is not None:
-            ub = 0.0
-            for t in terms_sorted:
-                sel = rows[rows["term"].to_numpy() == t]
-                if len(sel) == 0:
-                    continue
+            margin = _PRUNE_EPS * max(1.0, abs(theta))
+            ub_sum = 0.0
+            for t, sel in sel_of.items():
                 mt = sel["max_tf"].to_numpy(dtype=np.float64)
                 md = sel["min_dl"].to_numpy(dtype=np.float64)
-                ub += idf_arr[t] * float(np.max(tf_norm(mt, md, avg_of[t])))
-            if ub < theta - _PRUNE_EPS * max(1.0, abs(theta)):
+                ubs[t] = idf_arr[t] * float(np.max(tf_norm(mt, md,
+                                                           avg_of[t])))
+                ub_sum += ubs[t]
+            if ub_sum < theta - margin:
                 return heap_docs, heap_scores  # block-max WAND skip (D8)
 
         per_term = {}
-        for t in terms_sorted:
-            sel = rows[rows["term"].to_numpy() == t]
-            if len(sel) == 0:
-                continue
-            ds, ts_, ls = [], [], []
-            for r in sel.itertuples():
-                n = int(r.num_docs)
-                ds.append(delta_decode(decode(r.docs_enc, n), int(r.first_doc_id)))
-                ts_.append(decode(r.tfs_enc, n).astype(np.float64))
-                ls.append(decode(r.dls_enc, n).astype(np.float64))
-            d = np.concatenate(ds)
-            # blocks of a salted term interleave doc ranges (two salt groups
-            # of one term may share a build partition and emit one merged run
-            # that skips the middle salt's range) — re-sort after decode.
-            order = np.argsort(d)
-            d = d[order]
-            tf_a = np.concatenate(ts_)[order]
-            dl_a = np.concatenate(ls)[order]
-            if allowed_chunk is not None:
-                # pre-heap filter (D9): membership test against the sorted
-                # allowed slice of this chunk's doc range
-                pos = np.searchsorted(allowed_chunk, d)
-                pos_c = np.minimum(pos, allowed_chunk.size - 1)
-                keep = allowed_chunk[pos_c] == d
-                if not keep.any():
-                    continue
-                d, tf_a, dl_a = d[keep], tf_a[keep], dl_a[keep]
-            per_term[t] = (d, tf_a, dl_a)
-
         if mode == "AND":
-            if len(per_term) < m:
-                return heap_docs, heap_scores
-            common = None
-            for t in terms_sorted:
-                d = per_term[t][0]
-                common = d if common is None else common[np.isin(common, d, assume_unique=True)]
-                if common.size == 0:
+            # block-skipping leapfrog: decode the term with the fewest
+            # blocks first; every later term decodes ONLY blocks whose doc
+            # range intersects the running intersection — head terms'
+            # blocks outside the rare term's matches are never touched
+            common = allowed_chunk
+            for t in sorted(sel_of, key=lambda u: len(sel_of[u])):
+                res = decode_term(sel_of[t], common)
+                if res is None or res[0].size == 0:
                     return heap_docs, heap_scores
+                per_term[t] = res
+                if common is None:
+                    common = res[0]
+                else:
+                    # membership-filtered decode => res[0] is the new,
+                    # smaller intersection
+                    common = res[0]
             total = np.zeros(common.size, dtype=np.float64)
             for t in terms_sorted:  # frozen accumulation order
                 d, tf, dl = per_term[t]
@@ -614,7 +896,34 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
                 total += idf_arr[t] * tf_norm(tf[pos], dl[pos], avg_of[t])
             docs_out, scores_out = common, total
         else:
-            all_docs = np.unique(np.concatenate([per_term[t][0] for t in per_term]))
+            # MaxScore split: the longest ub-ascending prefix whose ub sum
+            # stays under theta is NON-ESSENTIAL — a doc matching only
+            # those terms cannot reach the heap, so candidates come from
+            # essential terms alone and NE terms are lookup-only (their
+            # blocks decode only where a candidate lands)
+            ne: set = set()
+            if ubs and theta is not None:
+                cum = 0.0
+                for t in sorted(ubs, key=lambda u: ubs[u]):
+                    if cum + ubs[t] < theta - margin:
+                        cum += ubs[t]
+                        ne.add(t)
+                    else:
+                        break
+            for t in sel_of:
+                if t in ne:
+                    continue
+                res = decode_term(sel_of[t], allowed_chunk)
+                if res is not None:
+                    per_term[t] = res
+            if not per_term:
+                return heap_docs, heap_scores
+            all_docs = np.unique(np.concatenate(
+                [per_term[t][0] for t in per_term]))
+            for t in ne:
+                res = decode_term(sel_of[t], all_docs)
+                if res is not None:
+                    per_term[t] = res
             total = np.zeros(all_docs.size, dtype=np.float64)
             for t in terms_sorted:  # frozen accumulation order
                 if t not in per_term:
@@ -680,6 +989,59 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
                             "score": out_s.astype(np.float64)})
 
     return scorer
+
+
+# ------------------------------------------------------------ spellcheck ---
+
+_SPELL_BUCKETS = 64
+
+
+def build_spell_table(dict_df: DataFrame, spell_dir: str) -> None:
+    """Persist a char-bigram -> term inverted map over the dictionary,
+    partitioned by a bigram hash bucket, so a spellcheck query
+    Levenshteins ONLY the union of its bigram buckets instead of scanning
+    the dict [public: Lucene n-gram spellchecker candidate retrieval].
+    Layout: <spell_dir>/bgb=NN/ rows (bg, term, df)."""
+    bg = (dict_df.select(
+            "term", "df",
+            F.explode(F.expr(
+                "transform(sequence(1, greatest(length(term) - 1, 1)),"
+                " i -> substring(term, i, 2))")).alias("bg"))
+          .where(F.length("bg") == 2).distinct()
+          .withColumn("bgb", (F.crc32(F.encode(F.col("bg"), "UTF-8"))
+                              % _SPELL_BUCKETS).cast("int")))
+    CATALOG.write_table(bg, spell_dir, partition_by="bgb")
+
+
+def _spell_rank(cand: DataFrame, word: str, max_dist: int,
+                limit: int) -> DataFrame:
+    dist = F.levenshtein(F.col("term"), F.lit(word)).cast("int")
+    return (cand
+            .where(F.abs(F.length("term") - len(word)) <= max_dist)
+            .withColumn("dist", dist)
+            .where(F.col("dist") <= max_dist)
+            .orderBy("dist", F.desc("df"), F.asc("term"))
+            .select("term", "dist", "df").limit(limit))
+
+
+def spellcheck_table(spark: SparkSession, spell_dir: str, word: str,
+                     max_dist: int = 2, limit: int = 5) -> DataFrame:
+    """Candidates = dictionary terms within +-max_dist length sharing
+    >= 1 char bigram with ``word`` (documented deviation from an
+    exhaustive scan: a term with NO shared bigram is never proposed —
+    the same candidate semantics as Lucene's n-gram spellchecker),
+    fetched by a partition-pruned read of the spell table, then ranked
+    (edit distance, df desc, term)."""
+    bgs = sorted({word[i:i + 2] for i in range(len(word) - 1)})
+    if not bgs:
+        return spark.createDataFrame([], "term string, dist int, df long")
+    buckets = sorted({zlib.crc32(g.encode("utf-8")) % _SPELL_BUCKETS
+                      for g in bgs})
+    cand = (CATALOG.read_table(spark, spell_dir)
+            .where(F.col("bgb").isin(buckets))
+            .where(F.col("bg").isin(bgs))
+            .select("term", "df").distinct())
+    return _spell_rank(cand, word, max_dist, limit)
 
 
 # ---------------------------------------------------------------- phrase ---
@@ -786,6 +1148,7 @@ def _make_phrase_scorer(phrase_terms, idf_sum, k1, b, avg_dl, k, slop,
 
         # backward chain: S holds key positions of phrase_terms[i] that
         # start a valid chain through the phrase suffix
+        pos_mask = np.int64(_POS_LIMIT - 1)
         S = term_keys(phrase_terms[-1])
         for i in range(m - 2, -1, -1):
             q = term_keys(phrase_terms[i])
@@ -793,7 +1156,12 @@ def _make_phrase_scorer(phrase_terms, idf_sum, k1, b, avg_dl, k, slop,
                 return heap_docs, heap_scores
             match = np.zeros(q.size, dtype=bool)
             for dlt in deltas:
-                match |= np.isin(q + dlt, S)
+                # q + dlt may wrap across the doc boundary of the packed
+                # key (pos near 2^22 makes doc<<22|pos + dlt == the NEXT
+                # doc's pos ~0, ADVICE r3) — only probe positions whose
+                # shifted key stays inside the same doc
+                ok = (q & pos_mask) + dlt < _POS_LIMIT
+                match |= ok & np.isin(q + dlt, S)
             S = q[match]
         if S.size == 0:
             return heap_docs, heap_scores

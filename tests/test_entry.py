@@ -47,9 +47,24 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def _all_queries():
+    """Driver-facing queries() PLUS the extra_queries() overflow — pytest
+    oracle-checks the full set even though the driver report caps at 50."""
+    d = dict(entrymod.queries())
+    d.update(entrymod.extra_queries())
+    return d
+
+
+def test_driver_report_cap():
+    """The driver records only the first 50 queries() entries (r3 evidence:
+    CORRECTNESS_r03.json held exactly 50 of 52); stay at or under the cap
+    so no operator family is silently unaudited."""
+    assert len(entrymod.queries()) <= 50
+
+
+@pytest.mark.parametrize("name", sorted(_all_queries().keys()))
 def test_query_vs_oracle(spark, sf_dir, ddb, name):
-    fn = entrymod.queries()[name]
+    fn = _all_queries()[name]
     sql = entrymod.oracle_sql().get(name)
     assert sql is not None, f"{name} has no oracle SQL"
     got = _normalize(fn(spark, sf_dir).toPandas())

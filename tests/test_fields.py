@@ -128,3 +128,59 @@ def test_plain_search_unaffected_by_fields(fielded, engine):
     b = [(r.doc_id, round(r.score, 9)) for r in
          engine.search("spark join", k=10).collect()]
     assert a == b
+
+
+# ------------------------------------------- fielded phrase (r4, D15xD16) ---
+
+def test_fielded_phrase_matches_oracle(spark, tmp_path):
+    """field:"exact phrase" — the positional chain runs over the fielded
+    postings with the FIELD's dl/avgdl. Oracle: brute-force chained-gap
+    phrase match over the field tokens."""
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = []
+    for i in range(400):
+        t = " ".join(rng.choice(words, size=int(rng.integers(3, 8))))
+        title = " ".join(rng.choice(words, size=int(rng.integers(2, 5))))
+        rows.append((f"c{i:03d}", 0, "user", t, title,
+                     pd.Timestamp("2026-01-01")))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "title", "ts"])
+    cfg = EngineConfig(n_buckets=4, build_partitions=4, chunk_bits=7,
+                      fields=("title",))
+    out = str(tmp_path / "fp")
+    build_index(spark, spark.createDataFrame(pdf), out, cfg, segments=1)
+    ix = Index(spark, out)
+
+    toks = [tokenize_py(t) for t in pdf["title"]]
+    n = len(pdf)
+    avg = sum(len(x) for x in toks) / n
+    for qa, qb in [("alpha", "beta"), ("gamma", "delta")]:
+        for slop in (0, 1):
+            dfa = sum(1 for tk in toks if qa in tk)
+            dfb = sum(1 for tk in toks if qb in tk)
+            idf_sum = (math.log(1 + (n - dfa + 0.5) / (dfa + 0.5))
+                       + math.log(1 + (n - dfb + 0.5) / (dfb + 0.5)))
+            exp = []
+            for d, tk in enumerate(toks):
+                ptf = sum(1 for i, w in enumerate(tk) if w == qa and any(
+                    0 < j - i <= slop + 1 and tk[j] == qb
+                    for j in range(i + 1, len(tk))))
+                if ptf:
+                    dl = len(tk)
+                    s = idf_sum * ptf / (ptf + 1.2 * (1 - 0.75
+                                                      + 0.75 * dl / avg))
+                    exp.append((d, s))
+            exp.sort(key=lambda x: (-x[1], x[0]))
+            got = [(r.doc_id, r.score) for r in
+                   ix.phrase(f"{qa} {qb}", k=10, slop=slop,
+                             field="title").collect()]
+            assert [g[0] for g in got] == [e[0] for e in exp[:10]], \
+                (qa, qb, slop)
+            for g, e in zip(got, exp):
+                assert g[1] == pytest.approx(e[1], rel=1e-9)
+    # single fielded token degenerates to fielded single-term BM25
+    assert ix.phrase("alpha", field="title", k=5).count() > 0
+    with pytest.raises(ValueError):
+        ix.phrase("alpha beta", field="nosuch")

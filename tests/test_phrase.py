@@ -89,11 +89,15 @@ def test_positions_roundtrip_unit():
     # first gap must be the absolute first position
     gaps = np.concatenate(
         [np.concatenate(([p[0]], np.diff(p))) for p in pos_abs])
+    from parser_indexer_spark.codec import varint_slices
+    starts = np.concatenate(([0], np.cumsum(tf)[:-1]))
+    pg_slices = np.empty(n, dtype=object)
+    pg_slices[:] = varint_slices(gaps.astype(np.uint64), starts)
     for codec in ("for", "varint"):
         cfg = EngineConfig(block_size=16, chunk_bits=8, n_buckets=4,
                            codec=codec)
         rows = _encode_rows(np.array(["t"] * n, object), d, tf, dl, cfg,
-                            pg=gaps)
+                            pg=pg_slices)
         got_docs, got_pos = [], []
         for r in rows.itertuples():
             nb = int(r.num_docs)
