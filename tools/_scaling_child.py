@@ -39,7 +39,14 @@ def main() -> None:
                        # positional payloads are the r3 default; the A/B
                        # toggle isolates their build cost from host drift
                        positions=os.environ.get("SCALING_POSITIONS",
-                                                "1") != "0")
+                                                "1") != "0",
+                       # impact sidecars are the r4 default (head-term
+                       # early exit); SCALING_IMPACTS=0 disables via an
+                       # unreachable df threshold to isolate their cost
+                       impact_df_threshold=(
+                           1 << 40
+                           if os.environ.get("SCALING_IMPACTS") == "0"
+                           else 4096))
 
     # untimed warmup build (~200k turns): JVM JIT + codegen caches + python
     # worker pools are steady-state on a real long-running cluster; without
