@@ -37,9 +37,10 @@ def _documents_index(spark: SparkSession, sf_dir: str,
     documents; reuses the committed index on later calls (C12 resume).
     variant='stop' uses the opt-in stopword analyzer (persisted in the
     manifest with a bumped analyzer_version)."""
-    # "v3": positional-postings on-disk format — a /tmp cache from an older
-    # round lacks pos_enc and must not be reused
-    key = sf_dir.strip("/").replace("/", "_") + "_" + variant + "_v3"
+    # "v4": impact-sidecar + spell-table format — a /tmp cache from an
+    # older round lacks impacts/ (head-term early exit) and must not be
+    # reused; pos_enc back-compat is handled, the sidecar is not implied
+    key = sf_dir.strip("/").replace("/", "_") + "_" + variant + "_v4"
     out = os.path.join(_INDEX_CACHE_ROOT, key)
     try:
         return Index(spark, out)

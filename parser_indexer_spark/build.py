@@ -424,7 +424,7 @@ def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
 
 def _write_impacts(spark: SparkSession, p: IndexPaths, seg: int,
                    cfg: EngineConfig, tf: DataFrame,
-                   imp_terms: list) -> int:
+                   imp_terms: list, avgdl_proxy: float = 0.0) -> int:
     """Impact sidecar for high-df terms [public: Lucene 8 impacts; Anh &
     Moffat 2006 impact ordering]: per (term in imp_terms) persist the
     top-``cfg.impact_top`` postings by BM25 tf-norm upper bound, plus ONE
@@ -506,10 +506,18 @@ def _write_impacts(spark: SparkSession, p: IndexPaths, seg: int,
 
     cand = sub.select("term", "doc_id", "tf", "dl") \
               .mapInPandas(local_top, SCHEMA)
+    # persist: the write job's plan references cand from three branches
+    # (side / dropped / partition bounds); the cache makes the expensive
+    # local_top pass run once inside that single job
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         pos_rows = cand.where(F.col("doc_id") >= 0)
-        a2 = pos_rows.agg(F.avg("dl")).first()[0] or 1.0
+        # stage-2 selection proxy: posting-weighted mean dl of the impact
+        # terms, computed driver-side from the census rows (r4: no extra
+        # Spark job — the short 4N build leg pays serial job round-trips
+        # ~3.4x harder than the N leg, so every removed job is wall
+        # efficiency). Any proxy is selection-only; bounds stay exact.
+        a2 = avgdl_proxy or 1.0
         score = (F.col("tf") /
                  (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(a2))))
         w = Window.partitionBy("term").orderBy(score.desc(),
@@ -554,14 +562,18 @@ def invert_and_write_segment(spark: SparkSession, p: IndexPaths, seg: int,
     lo, hi = doc_range
     span = max(1, hi - lo + 1)
     # skew census: exact df via map-side-combinable agg (shuffle ~|vocab|),
-    # shared by salting (df > salt_df_threshold) and the impact sidecar
-    # (df > impact_df_threshold) — one job, two consumers
+    # shared by salting (df > salt_df_threshold), the impact sidecar term
+    # set (df > impact_df_threshold), AND the sidecar's avgdl selection
+    # proxy (sum(dl)/count over impact rows) — ONE job, three consumers
     lo_thresh = min(cfg.salt_df_threshold, cfg.impact_df_threshold)
-    census = (tf.groupBy("term").count()
+    census = (tf.groupBy("term")
+              .agg(F.count("*").alias("count"), F.sum("dl").alias("sdl"))
               .where(F.col("count") > lo_thresh).collect())
     hot = [r["term"] for r in census if r["count"] > cfg.salt_df_threshold]
-    imp_terms = [r["term"] for r in census
-                 if r["count"] > cfg.impact_df_threshold]
+    imp_rows = [r for r in census if r["count"] > cfg.impact_df_threshold]
+    imp_terms = [r["term"] for r in imp_rows]
+    imp_n = sum(r["count"] for r in imp_rows)
+    avgdl_proxy = (sum(r["sdl"] for r in imp_rows) / imp_n) if imp_n else 0.0
     if hot:
         hot_df = spark.createDataFrame([(t,) for t in hot], "term string") \
                       .withColumn("_hot", F.lit(True))
@@ -584,7 +596,7 @@ def invert_and_write_segment(spark: SparkSession, p: IndexPaths, seg: int,
            .mapInPandas(make_block_builder(cfg), POSTINGS_SCHEMA)
     )
     CATALOG.write_table(blocks, p.postings_seg(seg), partition_by="bucket")
-    n_imp = _write_impacts(spark, p, seg, cfg, tf, imp_terms)
+    n_imp = _write_impacts(spark, p, seg, cfg, tf, imp_terms, avgdl_proxy)
     return {"n_hot": len(hot), "n_impact_terms": n_imp}
 
 

@@ -462,7 +462,8 @@ class Index:
                field: str = "text",
                doc_filter: Optional[str] = None, prune: bool = True,
                score_partitions: Optional[int] = None,
-               after: Optional[tuple] = None) -> DataFrame:
+               after: Optional[tuple] = None,
+               seed_theta: Optional[bool] = None) -> DataFrame:
         """Top-k phrase / ordered-proximity query over positional postings
         (D-phrase) [public: Lucene PhraseQuery / SloppyPhraseScorer].
 
@@ -556,12 +557,19 @@ class Index:
         par = self.spark.sparkContext.defaultParallelism
         np_parts = score_partitions or max(
             4, min(256, 2 * par, q_blocks // 2048))
+        theta0 = 0.0
+        if (prune and truncate and allowed_bc is None and after is None
+                and seed_theta is not False
+                and (seed_theta is True
+                     or q_blocks >= THETA_SEED_MIN_BLOCKS)):
+            theta0 = self._seed_theta_phrase(blocks, uniq, toks, idf_sum,
+                                             avg_dl, k, slop)
         scorer = _make_phrase_scorer(
             phrase_terms=list(toks), idf_sum=idf_sum, k1=self.cfg.k1,
             b=self.cfg.b, avg_dl=avg_dl, k=k, slop=slop,
             prune=prune and truncate, truncate=truncate,
             chunk_bits=self.cfg.chunk_bits, allowed_bc=allowed_bc,
-            after=after)
+            after=after, theta0=theta0)
         cand = (
             blocks.repartition(np_parts, "chunk")
                   .sortWithinPartitions("chunk")
@@ -698,6 +706,40 @@ class Index:
         if pred is not None:
             cand = cand.where(pred)
         return _spell_rank(cand, word, max_dist, limit)
+
+    def _seed_theta_phrase(self, blocks: DataFrame, uniq, toks, idf_sum,
+                           avg_dl, k, slop) -> float:
+        """Phrase-path WAND θ seed (VERDICT r3 #7): pick the chunk with
+        the highest LOSSLESS phrase upper bound — idf_sum * tf_norm(min
+        over terms of max max_tf, min min_dl), computed from block
+        metadata only and restricted to chunks containing EVERY phrase
+        term — then exactly phrase-score that one chunk driver-side with
+        the same scorer code; its k-th score is an achieved lower bound
+        of the global k-th best, so pruning against it stays lossless."""
+        k1, b = self.cfg.k1, self.cfg.b
+        per = (blocks.groupBy("chunk", "term")
+               .agg(F.max("max_tf").alias("mt"), F.min("min_dl").alias("md")))
+        agg = (per.groupBy("chunk")
+               .agg(F.min("mt").alias("mt"), F.min("md").alias("md"),
+                    F.countDistinct("term").alias("nt"))
+               .where(F.col("nt") == len(uniq)))
+        tfn = F.col("mt") / (F.col("mt")
+                             + k1 * (1.0 - b + b * F.col("md") / avg_dl))
+        best = agg.orderBy(F.desc(tfn), F.asc("chunk")).limit(1).collect()
+        if not best:
+            return 0.0
+        seed_rows = blocks.where(F.col("chunk") == best[0]["chunk"]) \
+                          .toPandas()
+        if seed_rows.empty:
+            return 0.0
+        sc = _make_phrase_scorer(
+            phrase_terms=list(toks), idf_sum=idf_sum, k1=k1, b=b,
+            avg_dl=avg_dl, k=k, slop=slop, prune=False, truncate=True,
+            chunk_bits=self.cfg.chunk_bits)
+        out = pd.concat(list(sc(iter([seed_rows]))), ignore_index=True)
+        if len(out) < k:
+            return 0.0
+        return float(out["score"].min())
 
     def fetch(self, topk: DataFrame) -> DataFrame:
         """A6 doc-store fetch: join top-k ids back to stored fields; the
@@ -1084,7 +1126,7 @@ def _merge_topk(heap_docs, heap_scores, docs, scores, k):
 
 def _make_phrase_scorer(phrase_terms, idf_sum, k1, b, avg_dl, k, slop,
                         prune, truncate, chunk_bits, allowed_bc=None,
-                        after=None):
+                        after=None, theta0=0.0):
     """mapInPandas positional scorer: same chunk-streaming carry pattern as
     _make_scorer; inside a chunk the phrase is matched by a BACKWARD key-set
     chain — S_i = positions of term i that start a valid suffix chain —
@@ -1102,6 +1144,8 @@ def _make_phrase_scorer(phrase_terms, idf_sum, k1, b, avg_dl, k, slop,
         if len(present) < len(uniq):
             return heap_docs, heap_scores  # a required term is absent
         theta = heap_scores[-1] if truncate and len(heap_scores) == k else None
+        if theta0 > 0.0:
+            theta = theta0 if theta is None else max(theta, theta0)
         if prune and theta is not None:
             # lossless ub: phrase_tf <= min_t tf_t(d) <= min_t max(max_tf)
             mtf, mdl = np.inf, np.inf

@@ -41,6 +41,30 @@ def test_phrase_bmw_lossless_and_parallelism_invariant(engine):
     assert a == _rows(engine.phrase("spark join", k=10, score_partitions=16))
 
 
+def test_phrase_theta_seed_lossless(engine):
+    """Seeded phrase == unseeded == exhaustive (the seed is an achieved
+    k-th score of one chunk, so pruning against it is lossless)."""
+    for q, slop in [("spark join", 0), ("filter window", 2)]:
+        seeded = _rows(engine.phrase(q, k=10, slop=slop, seed_theta=True))
+        assert seeded == _rows(engine.phrase(q, k=10, slop=slop,
+                                             seed_theta=False))
+        assert seeded == _rows(engine.phrase(q, k=10, slop=slop,
+                                             prune=False))
+    # the seed itself is positive when every term co-occurs in some chunk
+    from parser_indexer_spark.search import bm25_idf
+    uniq = sorted({"spark", "join"})
+    dfs = engine.term_stats(uniq)
+    idf_sum = sum(bm25_idf(engine.stats["n_docs"], dfs[t]) for t in uniq)
+    blocks = (engine._postings_df
+              .where(engine._postings_df.term.isin(uniq))
+              .select("term", "chunk", "first_doc_id", "num_docs",
+                      "max_tf", "min_dl", "docs_enc", "tfs_enc",
+                      "dls_enc", "pos_enc"))
+    th = engine._seed_theta_phrase(blocks, uniq, ["spark", "join"],
+                                   idf_sum, engine.stats["avg_dl"], 5, 0)
+    assert th > 0.0
+
+
 def test_phrase_absent_term_empty(engine):
     assert engine.phrase("spark zzzunseen", k=10).count() == 0
 
