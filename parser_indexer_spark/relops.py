@@ -482,9 +482,14 @@ _TRIGRAM_PROFILES = {
            " po", "vou", " vo", "ous", "us ", "ont", "nt ",
            "it ", "st ", " il", "il ", "ce ", " ce", "e l", "e d"],
 }
-# profiles must be duplicate-free or the weighted sum double-counts
+# profiles must be duplicate-free or the weighted sum double-counts; they
+# are also capped at 40 trigrams/lang — each trigram is one contains()
+# pass over the text, and the 60/lang variant measured 11 s of one-time
+# whole-stage-codegen compilation plus ~1.5x steady-state cost for ~no
+# additional separation on the test sentences
 _TRIGRAM_PROFILES = {
-    lg: list(dict.fromkeys(tris)) for lg, tris in _TRIGRAM_PROFILES.items()
+    lg: list(dict.fromkeys(tris))[:40]
+    for lg, tris in _TRIGRAM_PROFILES.items()
 }
 
 

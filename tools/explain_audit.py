@@ -40,13 +40,14 @@ def main() -> None:
     spark = get_spark(app="explain", master="local[4]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
-    idx = "/tmp/explain_audit_index"
+    idx = "/tmp/explain_audit_index_r4"   # r4: impact sidecars included
     if not os.path.exists(f"{idx}/_manifest.json"):
         shutil.rmtree(idx, ignore_errors=True)
         df = spark.createDataFrame(synthesize_pandas(2000))
         build_index(spark, df, idx,
                     EngineConfig(n_buckets=8, build_partitions=8,
-                                 salt_df_threshold=500, chunk_bits=9),
+                                 salt_df_threshold=500, chunk_bits=9,
+                                 impact_df_threshold=200),
                     segments=2)
 
     ix = Index(spark, idx)
@@ -106,6 +107,37 @@ def main() -> None:
                      "carries pos_enc (positional payload)",
                      cap_explain(ix.phrase("spark join", k=10))))
 
+    # 8. r4: multi-table ANN — ONE embeddings scan with an OR predicate
+    # (the r3 16-way union was the heaviest bench query; VERDICT r3 #5)
+    sections.append(("ann_cosine_lsh_multi (r4): expect exactly ONE "
+                     "embeddings parquet scan (OR-of-band-equalities "
+                     "predicate), no Union of 16 scans, no distinct "
+                     "shuffle before the re-rank",
+                     cap_explain(relops.ann_cosine_lsh_multi(
+                         spark, "/root/testdata/sf0.001"))))
+
+    # 9. r4: materialized ANN index — partition-pruned bucket read
+    from parser_indexer_spark import ann as annmod
+    ann_dir = "/tmp/explain_audit_ann"
+    if not os.path.exists(f"{ann_dir}/_ann_meta.json"):
+        shutil.rmtree(ann_dir, ignore_errors=True)
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        annmod.build_ann_index(spark, emb, ann_dir)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sections.append(("ann_index_lookup (r4): expect PartitionFilters on "
+                     "(t, b) of the materialized bucket table + broadcast "
+                     "semi-join of the candidate ids into embeddings",
+                     cap_explain(annmod.ann_query(spark, emb, ann_dir))))
+
+    # 10. r4: impact-sidecar read — bucket partition pruning + term pushdown
+    if ix._impacts_df is not None:
+        imp_scan = (ix._impacts_df
+                    .where(F.col("bucket").isin(buckets))
+                    .where(F.col("term").isin(terms)))
+        sections.append(("Impact sidecar read (D17): expect PartitionFilters "
+                         "on bucket + PushedFilters on term",
+                         cap_explain(imp_scan)))
+
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)",
            "", "Checks SURVEY.md §4's free-vs-custom claims against the real "
            "Catalyst output. Regenerate after plan-affecting changes.", ""]
@@ -125,6 +157,12 @@ def main() -> None:
     assert "LeftSemi" not in sections[6][1]
     assert "CartesianProduct" not in sections[7][1]
     assert "BroadcastNestedLoopJoin" not in sections[7][1]
+    # r4: the multi-table ANN plan must contain exactly ONE embeddings
+    # scan — explain("formatted") prints each physical scan twice (tree
+    # node + detail section), so one scan == two string occurrences
+    assert sections[9][1].count("Scan parquet") == 2, \
+        "ann_cosine_lsh_multi should scan embeddings exactly once"
+    assert "Union" not in sections[9][1]
     print("plan assertions OK")
 
 
