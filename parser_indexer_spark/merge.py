@@ -81,6 +81,19 @@ def _with_pos_col(blocks: DataFrame) -> DataFrame:
     return blocks
 
 
+def _check_pos_cfg(cfg: EngineConfig, src_config: dict, what: str) -> None:
+    """A merge/compaction re-inverts decoded postings: it can only CARRY
+    positions, never create them. A cfg override with positions=True over
+    a source that has none would reach block_pack's byte-join with
+    pos_gaps=None rows (ADVICE r4) — fail fast with the real reason
+    instead."""
+    if cfg.positions and not src_config.get("positions"):
+        raise ValueError(
+            f"{what}: cfg.positions=True but the source index was built "
+            "without positional payloads; positions cannot be synthesized "
+            "from postings — rebuild from the raw input instead")
+
+
 def merge_index(spark: SparkSession, src_root: str, dst_root: str,
                 cfg: EngineConfig | None = None) -> dict:
     """Compact all of src_root's segments into a single-segment index at
@@ -88,6 +101,7 @@ def merge_index(spark: SparkSession, src_root: str, dst_root: str,
     t0 = now()
     src_manifest = CATALOG.load_snapshot(src_root)
     cfg = cfg or EngineConfig.from_dict(src_manifest["config"])
+    _check_pos_cfg(cfg, src_manifest["config"], "merge_index")
     sp, dp = IndexPaths(src_root), IndexPaths(dst_root)
 
     # doc store is unchanged by a merge — re-link it (local fs copy; on a
@@ -165,6 +179,7 @@ def compact_segments(spark: SparkSession, root: str, segs: list[int],
     t0 = now()
     man = CATALOG.load_snapshot(root)
     cfg = cfg or EngineConfig.from_dict(man["config"])
+    _check_pos_cfg(cfg, man["config"], "compact_segments")
     p = IndexPaths(root)
     live = {s["seg"]: s for s in man["segments"]}
     segs = sorted(segs)

@@ -33,6 +33,7 @@ FIXTURES.md §3) so engine == oracle bit-for-bit modulo the documented
 from __future__ import annotations
 
 import math
+import os
 import zlib
 from typing import Iterator, Optional
 
@@ -109,9 +110,14 @@ class Index:
             self._impacts_df = CATALOG.read_table(
                 spark, *[ip.impacts_seg(s) for s in self._impact_segs],
                 base_path=ip.impacts)
+        # all three driver-side caches are FIFO-capped like _filter_bc
+        # (ADVICE r4): a long-lived handle serving many distinct filters /
+        # head terms must not grow driver memory without bound
         self._impact_cache: dict[str, pd.DataFrame] = {}
         self._seg_df_cache: dict[str, set] = {}
         self._postings_pruned: dict[tuple, Optional[DataFrame]] = {}
+        self._impact_cache_max = 256
+        self._postings_pruned_max = 8
 
     def close(self) -> None:
         """Release broadcast state held by this handle. NOTE: destroys the
@@ -170,6 +176,8 @@ class Index:
                    .where(F.col("term").isin(missing))
                    .select("term", "seg", "doc_id", "tf", "dl").toPandas())
             for t in missing:
+                while len(self._impact_cache) >= self._impact_cache_max:
+                    self._impact_cache.pop(next(iter(self._impact_cache)))
                 self._impact_cache[t] = \
                     pdf[pdf["term"] == t].reset_index(drop=True)
         return {t: self._impact_cache.get(t) for t in terms}
@@ -188,6 +196,8 @@ class Index:
                          term_bucket(term, self.cfg.n_buckets))
                 .where(F.col("term") == term).select("seg").collect())
         res = {int(r["seg"]) for r in rows}
+        while len(self._seg_df_cache) >= self._impact_cache_max:
+            self._seg_df_cache.pop(next(iter(self._seg_df_cache)))
         self._seg_df_cache[term] = res
         return res
 
@@ -233,10 +243,15 @@ class Index:
             d, sc = d[:k], sc[:k]
         elif d.size < df_t:
             return None                # incomplete and cannot fill k
+        # same ordering CONTRACT as the slow path's trailing
+        # .orderBy(score desc, doc_id asc).limit(k) (ADVICE r4): without
+        # it a consumer that repartitions/re-plans the returned DataFrame
+        # could observe a different row order than the full-scan path
         return self.spark.createDataFrame(
             pd.DataFrame({"doc_id": d.astype(np.int64),
                           "score": sc.astype(np.float64)}),
-            "doc_id long, score double")
+            "doc_id long, score double") \
+            .orderBy(F.desc("score"), F.asc("doc_id"))
 
     def _impact_theta0(self, terms, idf, avg_dl, k, mode) -> float:
         """WAND theta seed from the impact sidecars (replaces the two-job
@@ -601,6 +616,8 @@ class Index:
             return self._postings_df
         key = tuple(surv)
         if key not in self._postings_pruned:
+            while len(self._postings_pruned) >= self._postings_pruned_max:
+                self._postings_pruned.pop(next(iter(self._postings_pruned)))
             self._postings_pruned[key] = (
                 read_postings(self.spark, self.root, segs=surv)
                 if surv else None)
@@ -686,6 +703,20 @@ class Index:
         import os
         build_spell_table(self._dict_df, os.path.join(self.root, "spell"))
 
+    def _spell_fresh(self, spell_dir: str) -> bool:
+        """A persisted spell table is used only while its build-time
+        n_terms watermark matches the live dictionary (ADVICE r4): after
+        an append the table silently lacks the new terms, so queries fall
+        back to the dict-scan path until build_spell_index() reruns. A
+        table with no watermark (pre-r5 layout) is treated as stale."""
+        import os
+        try:
+            meta = CATALOG.read_meta(
+                os.path.join(spell_dir, "_spell_meta.json"))
+        except Exception:
+            return False
+        return meta.get("n_terms") == self.stats["n_terms"]
+
     def spellcheck(self, word: str, max_dist: int = 2,
                    limit: int = 5) -> DataFrame:
         """Nearest dictionary terms to ``word`` via the bucket-pruned
@@ -694,7 +725,7 @@ class Index:
         candidate semantics)."""
         import os
         spell_dir = os.path.join(self.root, "spell")
-        if os.path.isdir(spell_dir):
+        if os.path.isdir(spell_dir) and self._spell_fresh(spell_dir):
             return spellcheck_table(self.spark, spell_dir, word,
                                     max_dist=max_dist, limit=limit)
         bgs = sorted({word[i:i + 2] for i in range(len(word) - 1)})
@@ -1059,6 +1090,12 @@ def build_spell_table(dict_df: DataFrame, spell_dir: str) -> None:
           .withColumn("bgb", (F.crc32(F.encode(F.col("bg"), "UTF-8"))
                               % _SPELL_BUCKETS).cast("int")))
     CATALOG.write_table(bg, spell_dir, partition_by="bgb")
+    # freshness watermark (ADVICE r4): Index.spellcheck uses the table
+    # only while the dictionary still has this many terms — an append
+    # grows n_terms and flips queries back to the always-fresh dict scan
+    # until build_spell_index() is re-run
+    CATALOG.write_meta(os.path.join(spell_dir, "_spell_meta.json"),
+                       {"n_terms": dict_df.count()})
 
 
 def _spell_rank(cand: DataFrame, word: str, max_dist: int,

@@ -136,3 +136,24 @@ def test_tiered_compaction(spark, tmp_path):
     m2 = append_segment(spark, root, spark.createDataFrame(extra), CFG)
     assert sorted(s["seg"] for s in m2["segments"]) == [3, 4, 5]
     assert Index(spark, root).stats["n_docs"] == n + len(extra)
+
+
+def test_merge_rejects_positions_over_posless_source(spark, tmp_path):
+    """ADVICE r4: a cfg override with positions=True over a source built
+    without positional payloads must fail fast with a clear error (a
+    merge can only carry positions, never create them) instead of a
+    TypeError deep inside block packing."""
+    import pytest
+    src = str(tmp_path / "np_src")
+    nopos = EngineConfig(n_buckets=4, build_partitions=6,
+                         salt_df_threshold=300, n_salts=3, chunk_bits=8,
+                         positions=False)
+    build_index(spark, spark.createDataFrame(synthesize_pandas(400)),
+                src, nopos, segments=2)
+    override = EngineConfig.from_dict({**nopos.to_dict(),
+                                       "positions": True})
+    with pytest.raises(ValueError, match="positions"):
+        merge_index(spark, src, str(tmp_path / "np_dst"), cfg=override)
+    # the default (cfg from the source manifest) still merges fine
+    m = merge_index(spark, src, str(tmp_path / "np_dst2"))
+    assert m["n_segments"] == 1

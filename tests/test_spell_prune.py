@@ -125,3 +125,35 @@ def test_lang_trigram_separates_real_languages(spark):
         own = row[f"score_{lang}"]
         others = [row[c] for c in score_cols if c != f"score_{lang}"]
         assert own > max(others), (doc_id, lang, dict(row))
+
+
+def test_spell_table_stale_after_append(spark, corpus, tmp_path):
+    """ADVICE r4: a persisted spell table built before an append must NOT
+    shadow the always-fresh dict-scan fallback — new dictionary terms
+    have to be proposable immediately, and again from the table once it
+    is rebuilt."""
+    import pandas as pd
+
+    from parser_indexer_spark.incremental import append_segment
+    from parser_indexer_spark.search import Index
+    from test_incremental import CFG
+
+    root = str(tmp_path / "spellstale")
+    append_segment(spark, root, spark.createDataFrame(corpus.iloc[:600]),
+                   CFG)
+    ix = Index(spark, root)
+    ix.build_spell_index()
+    assert "zzgadget" not in [r.term for r in
+                              ix.spellcheck("zzgadgef").collect()]
+
+    batch = corpus.iloc[:1].copy()
+    batch["conv_id"] = "c_spell_new"
+    batch["text"] = "zzgadget zzgadget calibration"
+    append_segment(spark, root, spark.createDataFrame(batch), CFG)
+
+    ix2 = Index(spark, root)           # fresh handle sees the new stats
+    got = [r.term for r in ix2.spellcheck("zzgadgef").collect()]
+    assert "zzgadget" in got, got      # stale table bypassed (dict scan)
+    ix2.build_spell_index()            # rebuilt table is fresh again
+    got2 = [r.term for r in ix2.spellcheck("zzgadgef").collect()]
+    assert "zzgadget" in got2, got2
