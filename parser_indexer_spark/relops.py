@@ -493,23 +493,76 @@ _TRIGRAM_PROFILES = {
 }
 
 
+# joins every doc to the profile table even when no profile trigram is
+# present, so zero-score docs survive the inner join without a second
+# shuffle to re-attach them (\x01 cannot occur in a real trigram)
+_LANGID_SENTINEL = "\x01\x01\x01"
+
+
+def _langid_profile_rows() -> list[tuple]:
+    """(trigram, w_de, w_en, w_es, w_fr) rows: weight = profile_len - rank
+    for the language's profile, 0 for languages not listing the trigram;
+    plus the all-zero sentinel row."""
+    langs = sorted(_TRIGRAM_PROFILES)
+    entries: dict[str, dict[str, int]] = {}
+    for lg, tris in _TRIGRAM_PROFILES.items():
+        n = len(tris)
+        for i, tri in enumerate(tris):
+            entries.setdefault(tri, dict.fromkeys(langs, 0))[lg] = n - i
+    entries[_LANGID_SENTINEL] = dict.fromkeys(langs, 0)
+    return [(tri, *[ws[lg] for lg in langs])
+            for tri, ws in sorted(entries.items())]
+
+
 def lang_trigram_df(d: DataFrame) -> DataFrame:
     """Character-trigram-profile language ID (B5; Cavnar-Trenkle-style):
     per language, RANK-WEIGHTED presence of its top trigrams in the
     lowercased text (weight = profile_len - rank, so the most frequent
     trigrams dominate — a monotone stand-in for the C-T out-of-place
-    distance); argmax with deterministic language-code tie-break. Pure
-    JVM boolean expressions (no UDF), whole-stage-codegen'd AND
-    DuckDB-verifiable."""
-    tl = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-    scores = {}
-    for lang, tris in _TRIGRAM_PROFILES.items():
-        n = len(tris)
-        scores[lang] = sum(
-            [F.when(tl.contains(tri), n - i).otherwise(0)
-             for i, tri in enumerate(tris)],
-            F.lit(0))
+    distance); argmax with deterministic language-code tie-break.
+
+    Single-pass plan (VERDICT r4 #3): the text's DISTINCT trigrams are
+    exploded once (O(|text|), map-side only) and hash-joined against the
+    broadcast ~160-row (trigram, weights) profile table, then one
+    map-side-combined groupBy(doc_id) sums the weights — replacing the
+    prior 160-`contains()` projection whose cost was O(|profiles| x
+    |text|) per row. Same output bit-for-bit (the DuckDB oracle still
+    computes the contains() form, so the two algorithms cross-check)."""
     langs = sorted(_TRIGRAM_PROFILES)
+    prof = d.sparkSession.createDataFrame(
+        _langid_profile_rows(),
+        "tri string, " + ", ".join(f"w_{lg} int" for lg in langs))
+    # the padded text is materialized as its own attribute BELOW the
+    # Generate: referencing the concat/lower expression directly inside
+    # the transform lambda re-evaluates it PER ELEMENT (measured: O(L^2)
+    # per doc, 3.5x slower than the contains() form it replaces); as an
+    # attribute it is computed once per row and the lambda's substr is
+    # O(1) per element
+    tl = F.col("_tl")
+    tri_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(tl) - F.lit(2), F.lit(1))),
+        lambda i: tl.substr(i, F.lit(3)))
+    # per-row intersect with the constant profile-trigram set BEFORE the
+    # explode (array_intersect also dedups): only the <= ~160 trigrams
+    # that can score survive, so the join/agg sees O(profile) rows per
+    # doc instead of O(|text|) — the explode volume no longer scales
+    # with document length at all
+    all_tris = sorted({t for tris in _TRIGRAM_PROFILES.values()
+                       for t in tris})
+    matched = F.array_intersect(
+        tri_arr, F.array(*[F.lit(t) for t in all_tris]))
+    padded = d.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.lower(F.col("text")),
+                 F.lit(" ")).alias("_tl"))
+    e = padded.select("doc_id", F.explode(
+        F.concat(matched,
+                 F.array(F.lit(_LANGID_SENTINEL)))).alias("tri"))
+    g = (e.join(F.broadcast(prof), "tri")
+         .groupBy("doc_id")
+         .agg(*[F.sum(f"w_{lg}").cast("int").alias(f"s_{lg}")
+                for lg in langs]))
+    scores = {lg: F.col(f"s_{lg}") for lg in langs}
     # sequential argmax: first language (alphabetically) whose score >= all
     # later ones wins — ties break to the earlier code, same as the oracle
     best = F.lit(langs[-1])
@@ -524,7 +577,7 @@ def lang_trigram_df(d: DataFrame) -> DataFrame:
     for cond, lang in whens:
         expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
     best = expr.otherwise(langs[-1])
-    return d.select("doc_id",
+    return g.select("doc_id",
                     *[scores[lg].alias(f"score_{lg}") for lg in langs],
                     best.alias("lang_id"))
 
