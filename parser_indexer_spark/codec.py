@@ -171,9 +171,74 @@ def for_decode(buf: bytes, n: int) -> np.ndarray:
         return np.empty(0, dtype=_U64)
     width = buf[1]
     bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8, offset=2),
-                         count=n * width).reshape(n, width).astype(_U64)
-    shifts = np.arange(width, dtype=_U64)
-    return (bits << shifts[None, :]).sum(axis=1, dtype=_U64)
+                         count=n * width).reshape(n, width)
+    # uint8 @ uint64 weights: one C pass with an int accumulator — no
+    # (n, width) uint64 temporary, ~2x less CPU and far less memory
+    # traffic than astype + shift + sum (measured on a df=3M term)
+    return bits @ (_U64(1) << np.arange(width, dtype=_U64))
+
+
+def decode_blocks(bufs, ns) -> np.ndarray:
+    """Decode many tagged payloads (mixed codecs allowed) into ONE flat
+    uint64 array in block order, writing straight into a preallocated
+    output — no per-block allocations, astype()s, or list/concatenate
+    churn around the inner decode. FOR blocks keep the CONTIGUOUS
+    per-block reshape+matmul (measured faster and far more
+    memory-stable than a width-grouped gather over a joined bit buffer);
+    varint blocks strip tags, join (LEB128 streams are self-delimiting)
+    and decode in one pass.
+
+    ``bufs``: sequence of tagged byte strings; ``ns``: per-block value
+    counts (the blocks' num_docs column)."""
+    ns = np.ascontiguousarray(ns, dtype=np.int64)
+    nblk = len(bufs)
+    if nblk == 0 or ns.sum() == 0:
+        return np.empty(0, dtype=_U64)
+    ends = np.cumsum(ns)
+    starts = ends - ns
+    out = np.empty(int(ends[-1]), dtype=_U64)
+    v_idx = []
+    for i in range(nblk):
+        buf = bufs[i]
+        tag = buf[0]
+        if tag == 70:                                   # b'F'
+            n = int(ns[i])
+            if n:
+                width = buf[1]
+                bits = np.unpackbits(
+                    np.frombuffer(buf, dtype=np.uint8, offset=2),
+                    count=n * width).reshape(n, width)
+                out[starts[i]:ends[i]] = \
+                    bits @ (_U64(1) << np.arange(width, dtype=_U64))
+        elif tag == 86:                                 # b'V'
+            v_idx.append(i)
+        else:
+            raise ValueError(f"unknown codec id {buf[:1]!r}")
+    if v_idx:
+        stream = b"V" + b"".join(bufs[i][1:] for i in v_idx)
+        vals = varint_decode(stream)
+        if vals.size != int(ns[v_idx].sum()):
+            raise ValueError("varint batch decoded wrong value count")
+        voff = np.concatenate(([0], np.cumsum(ns[v_idx])))
+        for j, i in enumerate(v_idx):
+            out[starts[i]:ends[i]] = vals[voff[j]:voff[j + 1]]
+    return out
+
+
+def delta_decode_blocks(gaps: np.ndarray, ns: np.ndarray,
+                        firsts: np.ndarray) -> np.ndarray:
+    """Segmented delta_decode: ``gaps`` is the flat gap array of many
+    blocks (each block's first gap is 0 per the build contract), ``ns``
+    the per-block counts, ``firsts`` the blocks' first_doc_id bases.
+    One cumsum + one subtraction instead of a per-block Python loop."""
+    ns = np.ascontiguousarray(ns, dtype=np.int64)
+    g = gaps.astype(np.int64, copy=False)
+    if g.size == 0:
+        return np.empty(0, dtype=np.int64)
+    c = np.cumsum(g)
+    starts = np.concatenate(([0], np.cumsum(ns)))[:-1]
+    base = np.asarray(firsts, dtype=np.int64) - c[starts]
+    return c + np.repeat(base, ns)
 
 
 # --------------------------------------------------------------- generic ---

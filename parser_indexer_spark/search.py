@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from parser_indexer_spark.analyze import tokenize_py
 from parser_indexer_spark.build import read_dict, read_docs, read_postings, term_bucket
-from parser_indexer_spark.codec import decode, delta_decode
+from parser_indexer_spark.codec import decode, decode_blocks, delta_decode, delta_decode_blocks
 from parser_indexer_spark.config import EngineConfig
 from parser_indexer_spark.manifest import CATALOG, IndexPaths
 
@@ -253,6 +253,95 @@ class Index:
             "doc_id long, score double") \
             .orderBy(F.desc("score"), F.asc("doc_id"))
 
+    def _impact_topk_multi(self, terms: list, idf: dict, dfs: dict,
+                           k: int, mode: str):
+        """Multi-term early exit (VERDICT r4 #2): answer an OR/AND top-k
+        ENTIRELY from the sidecars when every query term is sidecar-
+        covered and the k-th FULLY-COVERED doc strictly beats every
+        possible rival. Generalizes _impact_topk_single's acceptance:
+
+        * a doc present in EVERY term's sidecar has an EXACT score (each
+          (term, doc) posting carries exact tf/dl), accumulated in the
+          scorer's frozen term order so floats agree bit-for-bit;
+        * a doc missing from term t's sidecar may still contain t in the
+          tail, so its score is only bounded: partial sum + Σ_absent B_t,
+          where B_t is the term's exact excluded-(tf, min-dl) skyline
+          bound (0 when the sidecar holds ALL of t's postings — the tf=0
+          coverage marker);
+        * docs in NO sidecar are bounded by Σ_t B_t.
+
+        Accept iff ≥ k fully-covered docs exist and the k-th strictly
+        beats the max rival bound (same eps rule as the single-term
+        path); when every term is COMPLETE (Σ B_t = 0) all union scores
+        are exact and the answer needs no separation at all. Returns an
+        ordered ≤ k-row DataFrame or None to fall back to the full scan."""
+        terms = sorted(terms)
+        rows = self._impact_rows(terms)
+        live = {s["seg"] for s in self.manifest["segments"]}
+        k1, b = self.cfg.k1, self.cfg.b
+        avg = self.stats["avg_dl"]
+        per: dict[str, tuple] = {}
+        B: dict[str, float] = {}
+        for t in terms:
+            r = rows.get(t)
+            if r is None or r.empty:
+                return None
+            bounds = r[r["doc_id"] < 0]
+            cands = r[r["doc_id"] >= 0]
+            covered = {int(s) for s in bounds["seg"]}
+            if covered != live \
+                    and not self._segs_containing(t).issubset(covered):
+                return None            # un-bounded postings somewhere
+            tf = cands["tf"].to_numpy(dtype=np.float64)
+            dl = cands["dl"].to_numpy(dtype=np.float64)
+            sc = idf[t] * (tf / (tf + k1 * (1.0 - b + b * dl / avg)))
+            per[t] = (cands["doc_id"].to_numpy(dtype=np.int64), sc)
+            btf = bounds["tf"].to_numpy(dtype=np.float64)
+            bdl = bounds["dl"].to_numpy(dtype=np.float64)
+            B[t] = float(np.max(
+                idf[t] * (btf / (btf + k1 * (1.0 - b + b * bdl / avg)))))
+        tot_b = float(sum(B.values()))
+        all_docs = np.unique(np.concatenate([per[t][0] for t in terms]))
+        total = np.zeros(all_docs.size, dtype=np.float64)
+        n_cov = np.zeros(all_docs.size, dtype=np.int64)
+        b_cov = np.zeros(all_docs.size, dtype=np.float64)
+        for t in terms:                # scorer's frozen accumulation order
+            d, sc = per[t]
+            pos = np.searchsorted(all_docs, d)
+            total[pos] += sc
+            n_cov[pos] += 1
+            b_cov[pos] += B[t]
+        full = n_cov == len(terms)
+
+        def topk(d, sc, kk):
+            order = np.lexsort((d, -sc))[:kk]
+            return self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": d[order].astype(np.int64),
+                              "score": sc[order].astype(np.float64)}),
+                "doc_id long, score double") \
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+
+        if tot_b == 0.0:
+            # every term complete: the union carries every matching doc
+            # with its exact score — no separation test needed, and (like
+            # a full scan) fewer than k rows is a valid answer
+            if mode == "AND":
+                return topk(all_docs[full], total[full], k)
+            return topk(all_docs, total, k)
+        if int(full.sum()) < k:
+            return None
+        fd, fs = all_docs[full], total[full]
+        order = np.lexsort((fd, -fs))
+        theta = float(fs[order[k - 1]])
+        partial = ~full
+        max_rival = tot_b
+        if partial.any():
+            ub = total[partial] + (tot_b - b_cov[partial])
+            max_rival = max(max_rival, float(ub.max()))
+        if theta - max_rival <= _PRUNE_EPS * max(1.0, abs(theta)):
+            return None                # not strictly separated
+        return topk(fd, fs, k)
+
     def _impact_theta0(self, terms, idf, avg_dl, k, mode) -> float:
         """WAND theta seed from the impact sidecars (replaces the two-job
         _seed_theta whenever a query term is sidecar-covered — the collect
@@ -331,11 +420,15 @@ class Index:
         n_docs = self.stats["n_docs"]
         avg_dl = self.stats["avg_dl"]
         idf = {t: bm25_idf(n_docs, dfs[t]) for t in terms}
-        if (len(terms) == 1 and doc_filter is None and after is None
-                and prune and k <= self.cfg.impact_top
-                and dfs[terms[0]] > self.cfg.impact_df_threshold):
-            fast = self._impact_topk_single(terms[0], idf[terms[0]],
-                                            dfs[terms[0]], k)
+        if (doc_filter is None and after is None and prune
+                and k <= self.cfg.impact_top
+                and all(dfs[t] > self.cfg.impact_df_threshold
+                        for t in terms)):
+            if len(terms) == 1:
+                fast = self._impact_topk_single(terms[0], idf[terms[0]],
+                                                dfs[terms[0]], k)
+            else:
+                fast = self._impact_topk_multi(terms, idf, dfs, k, mode)
             if fast is not None:
                 return fast
         return self._search_terms(
@@ -894,20 +987,24 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
             sel = sel[(lo < member.size) & (member[lo_c] <= ld)]
         if not len(sel):
             return None
-        ds, ts_, ls = [], [], []
-        for r in sel.itertuples():
-            n = int(r.num_docs)
-            ds.append(delta_decode(decode(r.docs_enc, n), int(r.first_doc_id)))
-            ts_.append(decode(r.tfs_enc, n).astype(np.float64))
-            ls.append(decode(r.dls_enc, n).astype(np.float64))
-        d = np.concatenate(ds)
+        # batched block decode (VERDICT r4 #5-adjacent): ONE vectorized
+        # pass over all surviving blocks of the chunk instead of a
+        # per-block decode() loop — the loop's fixed per-call cost was
+        # the dominant term of multi-term head-query latency (measured
+        # 4.4 s for one df=3M term, ~60 % pure loop overhead)
+        nd = sel["num_docs"].to_numpy(dtype=np.int64)
+        d = delta_decode_blocks(
+            decode_blocks(sel["docs_enc"].to_numpy(), nd), nd,
+            sel["first_doc_id"].to_numpy(dtype=np.int64))
         # blocks of a salted term interleave doc ranges (two salt groups
         # of one term may share a build partition and emit one merged run
         # that skips the middle salt's range) — re-sort after decode.
         order = np.argsort(d)
         d = d[order]
-        tf_a = np.concatenate(ts_)[order]
-        dl_a = np.concatenate(ls)[order]
+        tf_a = decode_blocks(sel["tfs_enc"].to_numpy(), nd) \
+            .astype(np.float64)[order]
+        dl_a = decode_blocks(sel["dls_enc"].to_numpy(), nd) \
+            .astype(np.float64)[order]
         if member is not None:
             pos = np.searchsorted(member, d)
             pos_c = np.minimum(pos, member.size - 1)

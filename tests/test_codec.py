@@ -110,3 +110,56 @@ def test_varint_truncated_raises():
     buf = codec.varint_encode(vals)
     with pytest.raises(ValueError):
         codec.varint_decode(buf[:-1])
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**50 - 1),
+                min_size=1, max_size=400),
+       st.integers(min_value=1, max_value=9),
+       st.sampled_from(["for", "varint", "mixed"]))
+@settings(max_examples=200, deadline=None)
+def test_decode_blocks_equals_per_block(xs, nblocks, codecs):
+    """Batched multi-block decode == per-block decode() for FOR, varint,
+    and mixed-codec batches at arbitrary block boundaries."""
+    vals = np.array(xs, dtype=np.uint64)
+    cuts = np.unique(np.linspace(0, len(xs), nblocks + 1).astype(np.int64))
+    bstarts, bends = cuts[:-1], cuts[1:]
+    keep = bends > bstarts
+    bstarts, bends = bstarts[keep], bends[keep]
+    bufs = []
+    for i, (s, e) in enumerate(zip(bstarts, bends)):
+        use_for = codecs == "for" or (codecs == "mixed" and i % 2 == 0)
+        bufs.append(codec.for_encode(vals[s:e]) if use_for
+                    else codec.varint_encode(vals[s:e]))
+    ns = (bends - bstarts).astype(np.int64)
+    got = codec.decode_blocks(bufs, ns)
+    exp = np.concatenate([codec.decode(b, int(n))
+                          for b, n in zip(bufs, ns)])
+    np.testing.assert_array_equal(got, exp)
+
+
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=2**40),
+                         min_size=1, max_size=50),
+                min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_delta_decode_blocks_equals_per_block(runs):
+    """Segmented delta decode == per-block delta_decode over ascending
+    doc runs whose first gap is 0 (the build contract)."""
+    blocks = []
+    base = 0
+    for r in runs:
+        docs = np.cumsum(np.array(r, dtype=np.int64) + 1) + base
+        blocks.append(docs)
+        base = int(docs[-1]) + 1
+    gaps, firsts, ns = [], [], []
+    for docs in blocks:
+        g = np.diff(docs, prepend=docs[0])
+        g[0] = 0
+        gaps.append(g.astype(np.uint64))
+        firsts.append(int(docs[0]))
+        ns.append(len(docs))
+    got = codec.delta_decode_blocks(
+        np.concatenate(gaps), np.array(ns, dtype=np.int64),
+        np.array(firsts, dtype=np.int64))
+    exp = np.concatenate([codec.delta_decode(g, f)
+                          for g, f in zip(gaps, firsts)])
+    np.testing.assert_array_equal(got, exp)

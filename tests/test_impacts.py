@@ -231,3 +231,171 @@ def test_compaction_rewrites_sidecars(spark, imp_corpus, tmp_path):
     t = "spark"
     assert ix._impact_topk_single(
         t, 1.0, ix.term_stats([t])[t], 5) is not None
+
+
+# ------------------------------------------------ multi-term early exit ---
+
+@pytest.fixture(scope="module")
+def skew_index(spark, tmp_path_factory):
+    """Corpus engineered so 2-term head queries separate: 30 joint docs
+    carry both terms at high tf / short dl; 300 single-term docs per term
+    carry tf=1 / long dl. With impact_top=64 both sidecars cover every
+    joint doc and the excluded-posting bounds sit far below the joint
+    scores."""
+    import pandas as pd
+    rows = []
+    for i in range(30):
+        rows.append(("alpha beta " * 3).strip())
+    for i in range(300):
+        rows.append("alpha " + " ".join(f"f{j}x" for j in range(11)))
+    for i in range(300):
+        rows.append("beta " + " ".join(f"g{j}x" for j in range(11)))
+    for i in range(3):                      # genuine tail term (df=3)
+        rows.append("alpha zcanary filler filler")
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i:05d}" for i in range(len(rows))],
+        "turn_idx": [0] * len(rows),
+        "role": ["user"] * len(rows),
+        "text": rows,
+        "tool": [""] * len(rows),
+        "ts": pd.Timestamp("2026-01-01"),
+    })
+    cfg = EngineConfig(n_buckets=4, build_partitions=4, chunk_bits=7,
+                       impact_df_threshold=20, impact_top=64)
+    out = str(tmp_path_factory.mktemp("skew") / "skew")
+    build_index(spark, spark.createDataFrame(pdf), out, cfg, segments=1)
+    return out, pdf, cfg
+
+
+def test_multi_term_fast_path_taken_and_identical(spark, skew_index,
+                                                  monkeypatch):
+    out, pdf, cfg = skew_index
+    ix = Index(spark, out)
+    orc = OracleIndex(range(len(pdf)), pdf["text"].tolist())
+    called = {}
+    orig = ix._search_terms
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ix, "_search_terms", spy)
+    for mode in ("OR", "AND"):
+        got = [(r.doc_id, r.score) for r in
+               ix.search("alpha beta", k=10, mode=mode).collect()]
+        assert "yes" not in called, f"multi fast path not taken ({mode})"
+        exp = orc.search("alpha beta", k=10, mode=mode)
+        assert [g[0] for g in got] == [e[0] for e in exp], mode
+        for g, e in zip(got, exp):
+            assert g[1] == pytest.approx(e[1], rel=1e-9)
+
+
+def test_multi_term_fast_path_matches_slow_scan(spark, skew_index):
+    """Bit-for-bit score parity with the unpruned exhaustive scan (same
+    frozen accumulation order)."""
+    from parser_indexer_spark.search import bm25_idf
+    out, pdf, cfg = skew_index
+    ix = Index(spark, out)
+    terms = ["alpha", "beta"]
+    dfs = ix.term_stats(terms)
+    idf = {t: bm25_idf(ix.stats["n_docs"], dfs[t]) for t in terms}
+    for mode in ("OR", "AND"):
+        fast = ix._impact_topk_multi(terms, idf, dfs, 10, mode)
+        assert fast is not None, mode
+        slow = ix._search_terms(terms, dfs, idf, ix.stats["avg_dl"], k=10,
+                                mode=mode, doc_filter=None, prune=False,
+                                score_partitions=None, after=None,
+                                seed_theta=False)
+        assert [(r.doc_id, r.score) for r in fast.collect()] == \
+               [(r.doc_id, r.score) for r in slow.collect()], mode
+
+
+def test_multi_term_no_separation_falls_back(spark, tmp_path):
+    """Flat corpus: every doc carries every term identically, partial-
+    coverage bounds equal the full-coverage sums — multi path must return
+    None and the full scan must answer with doc_id tie-break."""
+    import pandas as pd
+    from parser_indexer_spark.search import bm25_idf
+    n = 300
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i:04d}" for i in range(n)],
+        "turn_idx": [0] * n,
+        "role": ["user"] * n,
+        "text": ["alpha beta gamma"] * n,
+        "tool": [""] * n,
+        "ts": pd.Timestamp("2026-01-01"),
+    })
+    out = str(tmp_path / "flat2")
+    cfg = EngineConfig(n_buckets=4, build_partitions=4, chunk_bits=6,
+                       impact_df_threshold=20, impact_top=16)
+    build_index(spark, spark.createDataFrame(pdf), out, cfg, segments=1)
+    ix = Index(spark, out)
+    terms = ["alpha", "beta"]
+    dfs = ix.term_stats(terms)
+    idf = {t: bm25_idf(n, dfs[t]) for t in terms}
+    assert ix._impact_topk_multi(terms, idf, dfs, 10, "OR") is None
+    got = [r.doc_id for r in
+           ix.search("alpha beta", k=10, mode="AND").collect()]
+    assert got == list(range(10))
+
+
+def test_multi_term_complete_sidecars_exact(spark, tmp_path):
+    """impact_top >= df for every term: the sidecars hold ALL postings
+    (tf=0 markers only -> zero bounds), so even a flat corpus answers
+    driver-side — including an AND result smaller than k."""
+    import pandas as pd
+    n = 60
+    texts = (["alpha beta"] * 25 + ["alpha only0"] * 20
+             + ["beta only1"] * 15)
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i:04d}" for i in range(n)],
+        "turn_idx": [0] * n,
+        "role": ["user"] * n,
+        "text": texts,
+        "tool": [""] * n,
+        "ts": pd.Timestamp("2026-01-01"),
+    })
+    out = str(tmp_path / "complete")
+    cfg = EngineConfig(n_buckets=4, build_partitions=4, chunk_bits=6,
+                       impact_df_threshold=10, impact_top=64)
+    build_index(spark, spark.createDataFrame(pdf), out, cfg, segments=1)
+    ix = Index(spark, out)
+    from parser_indexer_spark.search import bm25_idf
+    terms = ["alpha", "beta"]
+    dfs = ix.term_stats(terms)
+    idf = {t: bm25_idf(n, dfs[t]) for t in terms}
+    for mode, n_match in (("OR", 60), ("AND", 25)):
+        fast = ix._impact_topk_multi(terms, idf, dfs, 50, mode)
+        assert fast is not None, mode
+        slow = ix._search_terms(terms, dfs, idf, ix.stats["avg_dl"], k=50,
+                                mode=mode, doc_filter=None, prune=False,
+                                score_partitions=None, after=None,
+                                seed_theta=False)
+        got = [(r.doc_id, r.score) for r in fast.collect()]
+        assert got == [(r.doc_id, r.score) for r in slow.collect()], mode
+        assert len(got) == min(50, n_match), mode
+
+
+def test_multi_term_dispatch_guards(spark, skew_index, monkeypatch):
+    """Mixed head/tail terms, doc filters, and k > impact_top all bypass
+    the multi fast path (full scan used)."""
+    out, pdf, cfg = skew_index
+    ix = Index(spark, out)
+    called = {}
+    orig = ix._search_terms
+
+    def spy(*a, **kw):
+        called["n"] = called.get("n", 0) + 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ix, "_search_terms", spy)
+    # zcanary is a genuine tail term (df=3 < threshold): the dispatch
+    # must not even consult the sidecars for a mixed head/tail query
+    assert ix.term_stats(["zcanary"])["zcanary"] == 3
+    ix.search("alpha zcanary", k=10, mode="OR").collect()
+    assert called.get("n") == 1
+    ix.search("alpha beta", k=10, mode="OR",
+              doc_filter="role = 'user'").collect()
+    assert called.get("n") == 2
+    ix.search("alpha beta", k=cfg.impact_top + 1, mode="OR").collect()
+    assert called.get("n") == 3
