@@ -338,7 +338,7 @@ def build_index(
 
 def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
                    docs_meta: dict, segments, input_desc: str,
-                   t0: float) -> dict:
+                   t0: float, deletes: dict | None = None) -> dict:
     """Phase C (C7/C9/C12): dict + stats from the committed segments, then
     the manifest written LAST = the atomic snapshot commit.
 
@@ -418,6 +418,11 @@ def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
         "segments": seg_rows,
         "wall_sec_total": now() - t0,
     }
+    if deletes and deletes.get("n"):
+        # carry the live tombstone generation across a recommit (appends,
+        # partial compactions); a full merge passes None = purged
+        manifest["deletes"] = {"gen": int(deletes["gen"]),
+                               "n": int(deletes["n"])}
     CATALOG.commit_snapshot(out_dir, manifest)  # LAST write = commit (C12)
     return manifest
 

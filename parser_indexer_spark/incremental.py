@@ -98,11 +98,15 @@ def append_segment(spark: SparkSession, root: str, batch: DataFrame,
     # live set = the committed manifest's segments + the new one (ids can
     # be non-contiguous after tiered compaction, so never range(n))
     if CATALOG.meta_exists(p.manifest):
-        live = [s["seg"] for s in CATALOG.load_snapshot(root)["segments"]]
+        prior = CATALOG.load_snapshot(root)
+        live = [s["seg"] for s in prior["segments"]]
+        deletes = prior.get("deletes")
     else:
         live = list(range(seg))
+        deletes = None
     return finalize_index(spark, root, cfg, meta, live + [seg],
-                          input_desc=input_desc or f"append seg {seg}", t0=t0)
+                          input_desc=input_desc or f"append seg {seg}",
+                          t0=t0, deletes=deletes)
 
 
 def incremental_index_query(stream_df: DataFrame, root: str,

@@ -33,6 +33,7 @@ from parser_indexer_spark.build import (
 )
 from parser_indexer_spark.codec import decode, delta_decode, varint_slices
 from parser_indexer_spark.config import EngineConfig
+from parser_indexer_spark.deletes import deletes_path, read_tombstones
 from parser_indexer_spark.manifest import CATALOG, IndexPaths, now
 
 
@@ -104,20 +105,42 @@ def merge_index(spark: SparkSession, src_root: str, dst_root: str,
     _check_pos_cfg(cfg, src_manifest["config"], "merge_index")
     sp, dp = IndexPaths(src_root), IndexPaths(dst_root)
 
-    # doc store is unchanged by a merge — re-link it (local fs copy; on a
-    # real deployment this is an Iceberg metadata-only operation)
+    tombstones = None
+    dels = src_manifest.get("deletes")
+    if dels and dels.get("n"):
+        tombstones = read_tombstones(src_root, dels["gen"])
     if os.path.exists(dp.root):
         shutil.rmtree(dp.root)
     os.makedirs(dp.root)
-    shutil.copytree(sp.docs, dp.docs)
-    docs_meta = CATALOG.read_meta(dp.docs_marker)
-    docs_meta["segments"] = 1
-    CATALOG.write_meta(dp.docs_marker, docs_meta)
+    if tombstones is None:
+        # doc store unchanged by a pure merge — re-link it (local fs copy;
+        # on a real deployment this is an Iceberg metadata-only operation)
+        shutil.copytree(sp.docs, dp.docs)
+        docs_meta = CATALOG.read_meta(dp.docs_marker)
+        docs_meta["segments"] = 1
+        CATALOG.write_meta(dp.docs_marker, docs_meta)
+        del_df = None
+    else:
+        # purge pass [public: Lucene merge dropping liveDocs-deleted docs]:
+        # tombstoned rows leave the doc store, the postings (below), the
+        # stats (n_docs here; df/sum_dl via the re-inversion), and the
+        # tombstone set itself — the merged index is the rebuilt-equivalent
+        del_df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": tombstones}), "doc_id long")
+        docs = CATALOG.read_table(spark, sp.docs) \
+                      .join(F.broadcast(del_df), "doc_id", "left_anti")
+        CATALOG.write_table(docs, dp.docs, partition_by="seg")
+        docs_meta = CATALOG.read_meta(sp.docs_marker)
+        docs_meta["n_docs"] = int(docs_meta["n_docs"]) - int(tombstones.size)
+        docs_meta["segments"] = 1
+        CATALOG.write_meta(dp.docs_marker, docs_meta)
 
     blocks = _with_pos_col(read_postings(spark, src_root))
     tf = blocks.select("term", "num_docs", "first_doc_id",
                        "docs_enc", "tfs_enc", "dls_enc", "pos_enc") \
                .mapInPandas(_decode_blocks, TOKENIZE_TF_SCHEMA)
+    if del_df is not None:
+        tf = tf.join(F.broadcast(del_df), "doc_id", "left_anti")
     lo = min(s["doc_lo"] for s in src_manifest["segments"])
     hi = max(s["doc_hi"] for s in src_manifest["segments"])
     ts0 = now()
@@ -195,6 +218,34 @@ def compact_segments(spark: SparkSession, root: str, segs: list[int],
                .mapInPandas(_decode_blocks, TOKENIZE_TF_SCHEMA)
     lo = min(live[s]["doc_lo"] for s in segs)
     hi = max(live[s]["doc_hi"] for s in segs)
+    # partial purge [public: Lucene liveDocs drop at merge]: tombstones
+    # inside the merged segments' doc ranges leave postings + doc store
+    # here; tombstones of untouched segments stay live in a new generation
+    purged = remaining = None
+    dels = man.get("deletes")
+    if dels and dels.get("n"):
+        ts = read_tombstones(root, dels["gen"])
+        in_range = np.zeros(ts.size, dtype=bool)
+        for sg in segs:
+            in_range |= (ts >= live[sg]["doc_lo"]) & \
+                        (ts <= live[sg]["doc_hi"])
+        purged, remaining = ts[in_range], ts[~in_range]
+        if purged.size:
+            del_df = spark.createDataFrame(
+                pd.DataFrame({"doc_id": purged}), "doc_id long")
+            tf = tf.join(F.broadcast(del_df), "doc_id", "left_anti")
+            # doc-store rows of purged ids: rewrite ONLY the doc-store
+            # partitions that contain them (dynamic partition overwrite —
+            # untouched partitions keep their files)
+            docs = CATALOG.read_table(spark, p.docs)
+            hit = [r["seg"] for r in
+                   docs.join(F.broadcast(del_df), "doc_id", "left_semi")
+                       .select("seg").distinct().collect()]
+            if hit:
+                CATALOG.write_table(
+                    docs.where(F.col("seg").isin(hit))
+                        .join(F.broadcast(del_df), "doc_id", "left_anti"),
+                    p.docs, partition_by="seg", dynamic=True)
     from pyspark.storagelevel import StorageLevel
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)  # census+invert+impacts
     try:
@@ -205,11 +256,22 @@ def compact_segments(spark: SparkSession, root: str, segs: list[int],
 
     # allocation watermark: future appends start above the compacted id
     meta["segments"] = new_seg + 1
+    deletes_left = None
+    if purged is not None and purged.size:
+        meta["n_docs"] = int(meta["n_docs"]) - int(purged.size)
+    if remaining is not None and remaining.size:
+        gen = int(dels["gen"]) + 1
+        CATALOG.write_table(
+            spark.createDataFrame(pd.DataFrame({"doc_id": remaining}),
+                                  "doc_id long"),
+            deletes_path(root, gen))
+        deletes_left = {"gen": gen, "n": int(remaining.size)}
     CATALOG.write_meta(p.docs_marker, meta)
     survivors = [s for s in live if s not in set(segs)] + [new_seg]
     manifest = finalize_index(
         spark, root, cfg, meta, survivors,
-        input_desc=f"tiered compaction of segs {segs} -> {new_seg}", t0=t0)
+        input_desc=f"tiered compaction of segs {segs} -> {new_seg}", t0=t0,
+        deletes=deletes_left)
     for s in segs:  # only after the commit stopped referencing them
         shutil.rmtree(p.postings_seg(s), ignore_errors=True)
         shutil.rmtree(p.dict_seg(s), ignore_errors=True)

@@ -46,6 +46,7 @@ from parser_indexer_spark.analyze import tokenize_py
 from parser_indexer_spark.build import read_dict, read_docs, read_postings, term_bucket
 from parser_indexer_spark.codec import decode, decode_blocks, delta_decode, delta_decode_blocks
 from parser_indexer_spark.config import EngineConfig
+from parser_indexer_spark.deletes import deletes_path as _deletes_path, live_mask as _live_mask_arr, read_tombstones as _read_tombstones
 from parser_indexer_spark.manifest import CATALOG, IndexPaths
 
 _PRUNE_EPS = 1e-12  # float-safety margin on the WAND skip test (see §7 hp-3)
@@ -118,6 +119,15 @@ class Index:
         self._postings_pruned: dict[tuple, Optional[DataFrame]] = {}
         self._impact_cache_max = 256
         self._postings_pruned_max = 8
+        # tombstones [public: Lucene liveDocs]: sorted doc_id array of
+        # deleted docs, loaded driver-side from the manifest's deletes
+        # generation (bounded by FILTER_BROADCAST_LIMIT — delete_docs
+        # refuses beyond it and points at compaction)
+        self._tombstones: Optional[np.ndarray] = None
+        self._denied_bc = None
+        dels = self.manifest.get("deletes")
+        if dels and dels.get("n"):
+            self._tombstones = _read_tombstones(root, dels["gen"])
 
     def close(self) -> None:
         """Release broadcast state held by this handle. NOTE: destroys the
@@ -127,6 +137,73 @@ class Index:
             if bc is not None:
                 bc.destroy()
         self._filter_bc.clear()
+        if self._denied_bc is not None:
+            self._denied_bc.destroy()
+            self._denied_bc = None
+
+    # ---------------------------------------------------------- deletes ---
+    def _denied(self):
+        """Broadcast tombstone set for the scorers (lazy, one per handle)."""
+        if self._tombstones is None:
+            return None
+        if self._denied_bc is None:
+            self._denied_bc = self.spark.sparkContext.broadcast(
+                self._tombstones)
+        return self._denied_bc
+
+    def _live_mask(self, d: np.ndarray) -> Optional[np.ndarray]:
+        """Boolean mask of NON-deleted entries of ``d``, or None when no
+        tombstones exist (driver-side twin of the scorer-side mask)."""
+        return _live_mask_arr(d, self._tombstones)
+
+    def delete_docs(self, doc_ids) -> dict:
+        """Tombstone ``doc_ids`` [public: Lucene IndexWriter.deleteDocuments
+        / Solr deleteById]: the docs stop matching every query immediately;
+        their postings, doc-store rows, and contribution to corpus stats
+        are physically purged at the next merge/compaction (Lucene liveDocs
+        semantics — df/avgdl stay at their build-time values until then,
+        which keeps surviving docs' scores IDENTICAL to pre-delete scores).
+
+        Commit protocol: the new tombstone generation is written as a
+        parquet table first, the manifest pointing at it last — a crash
+        between the two leaves the previous generation live."""
+        ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        if self._tombstones is not None:
+            ids = np.union1d(ids, self._tombstones)
+        if ids.size > FILTER_BROADCAST_LIMIT:
+            raise ValueError(
+                f"{ids.size} tombstones exceed the broadcastable bound "
+                f"({FILTER_BROADCAST_LIMIT}); run compact/merge to purge "
+                "them physically before deleting more")
+        gen = int(self.manifest.get("deletes", {}).get("gen", 0)) + 1
+        CATALOG.write_table(
+            self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": ids}), "doc_id long"),
+            _deletes_path(self.root, gen))
+        man = dict(self.manifest)
+        man["deletes"] = {"gen": gen, "n": int(ids.size)}
+        CATALOG.commit_snapshot(self.root, man)
+        self.manifest = man
+        self._tombstones = ids
+        if self._denied_bc is not None:
+            # unpersist, not destroy: previously returned DataFrames may
+            # still re-execute against the old broadcast (same rule as
+            # _filter_bc eviction)
+            self._denied_bc.unpersist(blocking=False)
+            self._denied_bc = None
+        return man
+
+    def delete_by_query(self, doc_filter: str) -> dict:
+        """Solr delete-by-query analogue: tombstone every doc matching a
+        SQL boolean expression over the docs table's attribute columns."""
+        ids = (read_docs(self.spark, self.root).where(doc_filter)
+               .select("doc_id").limit(FILTER_BROADCAST_LIMIT + 1)
+               .toPandas()["doc_id"].to_numpy(dtype=np.int64))
+        if ids.size > FILTER_BROADCAST_LIMIT:
+            raise ValueError(
+                "delete_by_query matches more docs than the tombstone "
+                "bound; delete in narrower slices with compactions between")
+        return self.delete_docs(ids)
 
     # ----------------------------------------------------------- lookup ---
     def term_stats(self, terms: list[str]) -> dict[str, int]:
@@ -217,6 +294,9 @@ class Index:
             return None
         bounds = rows[rows["doc_id"] < 0]
         cands = rows[rows["doc_id"] >= 0]
+        live = self._live_mask(cands["doc_id"].to_numpy(dtype=np.int64))
+        if live is not None:
+            cands = cands[live]          # tombstoned docs never answer
         covered = {int(s) for s in bounds["seg"]}
         live = {s["seg"] for s in self.manifest["segments"]}
         if covered != live:
@@ -288,6 +368,9 @@ class Index:
                 return None
             bounds = r[r["doc_id"] < 0]
             cands = r[r["doc_id"] >= 0]
+            alive = self._live_mask(cands["doc_id"].to_numpy(dtype=np.int64))
+            if alive is not None:
+                cands = cands[alive]     # tombstoned docs never answer
             covered = {int(s) for s in bounds["seg"]}
             if covered != live \
                     and not self._segs_containing(t).issubset(covered):
@@ -366,6 +449,14 @@ class Index:
                     return 0.0      # intersection requires every term
                 continue
             c = r[r["doc_id"] >= 0]
+            alive = self._live_mask(c["doc_id"].to_numpy(dtype=np.int64))
+            if alive is not None:
+                c = c[alive]    # a deleted doc's partial sum must not
+                                # seed θ0 — live docs might all score lower
+            if c.empty:
+                if mode == "AND":
+                    return 0.0
+                continue
             avg = float(avg_dl[t]) if isinstance(avg_dl, dict) else avg_dl
             tfa = c["tf"].to_numpy(dtype=np.float64)
             dla = c["dl"].to_numpy(dtype=np.float64)
@@ -555,6 +646,7 @@ class Index:
             avg_dl=avg_dl, k=k, mode=mode, prune=prune and truncate,
             truncate=truncate, chunk_bits=self.cfg.chunk_bits,
             allowed_bc=allowed_bc, after=after, theta0=theta0,
+            denied_bc=self._denied(),
         )
         cand = (
             blocks.repartition(np_parts, "chunk")
@@ -677,7 +769,7 @@ class Index:
             b=self.cfg.b, avg_dl=avg_dl, k=k, slop=slop,
             prune=prune and truncate, truncate=truncate,
             chunk_bits=self.cfg.chunk_bits, allowed_bc=allowed_bc,
-            after=after, theta0=theta0)
+            after=after, theta0=theta0, denied_bc=self._denied())
         cand = (
             blocks.repartition(np_parts, "chunk")
                   .sortWithinPartitions("chunk")
@@ -782,7 +874,8 @@ class Index:
             return 0.0
         sc = _make_scorer(terms=terms, idf=idf, k1=k1, b=b, avg_dl=avg_dl,
                           k=k, mode=mode, prune=False, truncate=True,
-                          chunk_bits=self.cfg.chunk_bits)
+                          chunk_bits=self.cfg.chunk_bits,
+                          denied_bc=self._denied())
         out = pd.concat(list(sc(iter([seed_rows]))), ignore_index=True)
         if len(out) < k:
             return 0.0
@@ -859,7 +952,7 @@ class Index:
         sc = _make_phrase_scorer(
             phrase_terms=list(toks), idf_sum=idf_sum, k1=k1, b=b,
             avg_dl=avg_dl, k=k, slop=slop, prune=False, truncate=True,
-            chunk_bits=self.cfg.chunk_bits)
+            chunk_bits=self.cfg.chunk_bits, denied_bc=self._denied())
         out = pd.concat(list(sc(iter([seed_rows]))), ignore_index=True)
         if len(out) < k:
             return 0.0
@@ -950,7 +1043,8 @@ class Index:
 
 
 def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
-                 chunk_bits, allowed_bc=None, after=None, theta0=0.0):
+                 chunk_bits, allowed_bc=None, after=None, theta0=0.0,
+                 denied_bc=None):
     """Build the mapInPandas scoring function. Input arrives chunk-sorted
     within the partition (sortWithinPartitions upstream); the scorer STREAMS
     complete chunk runs off the Arrow batch iterator with a carry for the
@@ -1109,6 +1203,15 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
                 total[pos] += idf_arr[t] * tf_norm(tf, dl, avg_of[t])
             docs_out, scores_out = all_docs, total
 
+        if denied_bc is not None and docs_out.size:
+            # tombstone mask [public: Lucene liveDocs], pre-heap so θ only
+            # ever grows from live docs (a deleted doc's score seeding the
+            # heap would make WAND skips lossy for live docs)
+            live = _live_mask_arr(docs_out, denied_bc.value)
+            if live is not None:
+                docs_out, scores_out = docs_out[live], scores_out[live]
+                if docs_out.size == 0:
+                    return heap_docs, heap_scores
         if after is not None:
             # keyset cursor (D11): keep docs strictly after (score desc,
             # doc_id asc) position — pre-heap, so truncation + WAND hold
@@ -1260,7 +1363,7 @@ def _merge_topk(heap_docs, heap_scores, docs, scores, k):
 
 def _make_phrase_scorer(phrase_terms, idf_sum, k1, b, avg_dl, k, slop,
                         prune, truncate, chunk_bits, allowed_bc=None,
-                        after=None, theta0=0.0):
+                        after=None, theta0=0.0, denied_bc=None):
     """mapInPandas positional scorer: same chunk-streaming carry pattern as
     _make_scorer; inside a chunk the phrase is matched by a BACKWARD key-set
     chain — S_i = positions of term i that start a valid suffix chain —
@@ -1325,6 +1428,14 @@ def _make_phrase_scorer(phrase_terms, idf_sum, k1, b, avg_dl, k, slop,
             common = common[allowed[pos_c] == common]
             if common.size == 0:
                 return heap_docs, heap_scores
+        if denied_bc is not None:
+            # tombstone mask [public: Lucene liveDocs] — pre-heap, so the
+            # phrase θ only grows from live docs
+            live = _live_mask_arr(common, denied_bc.value)
+            if live is not None:
+                common = common[live]
+                if common.size == 0:
+                    return heap_docs, heap_scores
 
         def term_keys(t):
             ks = per_term[t][2]
