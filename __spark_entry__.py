@@ -78,6 +78,25 @@ def topk_bm25_and_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def topk_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUST_NOT clause [public: Lucene BooleanQuery MUST_NOT; Solr
+    -term]: top-k for 'spark join' excluding every doc containing
+    'scan'; survivors keep their unmodified BM25 scores."""
+    ix = _documents_index(spark, sf_dir)
+    top = ix.search(_FLAGSHIP_QUERY, k=_FLAGSHIP_K, mode="OR",
+                    must_not=["scan"])
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def topk_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix query [public: Lucene PrefixQuery / Solr wildcard]: 's*'
+    expands against the term dictionary (bounded, error beyond) into an
+    ordinary scored OR."""
+    ix = _documents_index(spark, sf_dir)
+    top = ix.search("s*", k=_FLAGSHIP_K, mode="OR")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def topk_bm25_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-analyzer index (Solr StopFilter analogue): 'the'/'data'/
     'fast' are dropped at index AND query time, changing dl/avgdl and
@@ -208,6 +227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fulltext index + BM25 path (SURVEY.md §2.C/D — the north rule)
         "topk_bm25": topk_bm25,
         "topk_bm25_and": topk_bm25_and,
+        "topk_bm25_not": topk_bm25_not,
+        "topk_prefix": topk_prefix,
         "topk_bm25_stop": topk_bm25_stop,
         "topk_phrase": topk_phrase,
         "topk_phrase_slop": topk_phrase_slop,
@@ -276,16 +297,30 @@ _TOK = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
         "x -> x <> '')")
 
 
-def _bm25_sql(terms_sql: str, mode: str, k: int, stop: tuple = ()) -> str:
+def _bm25_sql(terms_sql: str, mode: str, k: int, stop: tuple = (),
+              must_not: tuple = (), prefix: str | None = None) -> str:
     """DuckDB BM25 over documents: same formula, exact dl, k1=1.2 b=0.75.
     ``stop``: analyzer stopword list (applied to the corpus tokenization,
-    mirroring the engine's index-time StopFilter)."""
+    mirroring the engine's index-time StopFilter). ``must_not``: docs
+    containing any of these terms are dropped AFTER scoring (exclusion
+    never changes survivors' scores — Lucene MUST_NOT). ``prefix``: derive
+    the query term set as every corpus term with this prefix instead of a
+    literal list (Lucene PrefixQuery scoring rewrite)."""
     having = "" if mode == "OR" else \
         f"HAVING count(*) = (SELECT count(*) FROM qterms)"
     tok_expr = _TOK
     if stop:
         inlist = ", ".join(f"'{w}'" for w in stop)
         tok_expr = f"list_filter({_TOK}, x -> x NOT IN ({inlist}))"
+    if prefix is not None:
+        qterms = f"SELECT DISTINCT term FROM tok WHERE term LIKE '{prefix}%'"
+    else:
+        qterms = f"SELECT unnest([{terms_sql}]) AS term"
+    not_where = ""
+    if must_not:
+        exl = ", ".join(f"'{w}'" for w in must_not)
+        not_where = (f"WHERE doc_id NOT IN (SELECT DISTINCT doc_id "
+                     f"FROM tok WHERE term IN ({exl}))")
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({tok_expr}) AS term FROM documents
@@ -295,7 +330,7 @@ st AS (
   SELECT (SELECT count(*) FROM documents) AS n_docs,
          (SELECT sum(dl) FROM dl) AS sum_dl
 ),
-qterms AS (SELECT unnest([{terms_sql}]) AS term),
+qterms AS ({qterms}),
 tfs AS (
   SELECT doc_id, term, count(*) AS tf FROM tok
   WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term
@@ -311,7 +346,7 @@ scored AS (
   {having}
 )
 SELECT doc_id, round(score, 4) AS score
-FROM scored ORDER BY scored.score DESC, doc_id LIMIT {k}
+FROM scored {not_where} ORDER BY scored.score DESC, doc_id LIMIT {k}
 """
 
 
@@ -563,6 +598,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_and": _bm25_sql("'agg', 'hash', 'scan'", "AND", _FLAGSHIP_K),
         "topk_bm25_and_absent": _bm25_sql(
             "'agg', 'hash', 'zzzabsentterm'", "AND", _FLAGSHIP_K),
+        "topk_bm25_not": _bm25_sql("'join', 'spark'", "OR", _FLAGSHIP_K,
+                                   must_not=("scan",)),
+        "topk_prefix": _bm25_sql("", "OR", _FLAGSHIP_K, prefix="s"),
         "topk_bm25_stop": _bm25_sql("'join', 'spark'", "OR", _FLAGSHIP_K,
                                     stop=_STOP_LIST),
         "topk_phrase": _phrase_sql("spark", "join", 0, _FLAGSHIP_K),

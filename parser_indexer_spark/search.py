@@ -476,11 +476,40 @@ class Index:
         return float(np.partition(sc, -k)[-k])
 
     # ----------------------------------------------------------- search ---
+    def expand_prefix(self, prefix: str,
+                      max_expansions: int = 64) -> list[str]:
+        """Dictionary terms starting with ``prefix`` [public: Lucene
+        PrefixQuery rewrite; Solr wildcard]. Bounded: more than
+        ``max_expansions`` matches raises instead of silently truncating
+        (a truncated expansion would change results non-deterministically
+        with segment layout)."""
+        if not prefix:
+            raise ValueError("empty prefix")
+        if not self._dict_preloaded \
+                and self.stats["n_terms"] <= DICT_PRELOAD_LIMIT:
+            self.term_stats([prefix])        # triggers the one-time preload
+        if self._dict_preloaded:
+            out = sorted(t for t in self._dict_cache
+                         if t.startswith(prefix)
+                         and self._dict_cache[t] > 0)[:max_expansions + 1]
+        else:
+            # large-vocab path: pushed-down startsWith scan of the dict
+            out = sorted(r["term"] for r in self._dict_df
+                         .where(F.col("term").startswith(prefix))
+                         .select("term").limit(max_expansions + 1).collect())
+        if len(out) > max_expansions:
+            raise ValueError(
+                f"prefix '{prefix}*' expands to more than {max_expansions} "
+                "terms; use a longer prefix or raise max_expansions")
+        return out
+
     def search(self, query: str, k: int = 10, mode: str = "OR",
                doc_filter: Optional[str] = None, prune: bool = True,
                score_partitions: Optional[int] = None,
                after: Optional[tuple] = None,
-               seed_theta: Optional[bool] = None) -> DataFrame:
+               seed_theta: Optional[bool] = None,
+               must_not: Optional[list] = None,
+               max_expansions: int = 64) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id long, score double), ordered
         by (score desc, doc_id asc), <= k rows.
 
@@ -493,10 +522,40 @@ class Index:
         (score desc, doc_id asc) order. Applied pre-heap in the scorer, so
         page N keeps full truncation + WAND pruning. Scores are
         deterministic float64, so the cursor round-trips exactly.
+
+        must_not: words whose docs are EXCLUDED [public: Lucene
+        BooleanQuery MUST_NOT; Solr -term]: candidates containing any of
+        them are masked pre-heap; survivors' scores are untouched
+        (exclusion never contributes to scoring). A pure-negative query
+        (no surviving positive term) returns empty, as in Lucene.
+
+        Prefix queries: a whitespace token ending in '*' (e.g. "spar*")
+        expands to every dictionary term with that prefix (bounded by
+        ``max_expansions``, error beyond) and joins the OR as ordinary
+        scored terms [public: Lucene SCORING_BOOLEAN_REWRITE]. AND mode
+        rejects prefixes: "all expansions required" is never what a
+        wildcard means.
         """
-        terms = sorted(set(tokenize_py(query, self.cfg.stopwords)))
         spark = self.spark
         empty = spark.createDataFrame([], "doc_id long, score double")
+        plain_parts, prefixes = [], []
+        for part in query.split():
+            if part.endswith("*") and len(part) > 1:
+                toks = tokenize_py(part[:-1], self.cfg.stopwords)
+                if toks:
+                    prefixes.append(toks[-1])
+                    plain_parts.extend(toks[:-1])
+            else:
+                plain_parts.append(part)
+        terms = sorted(set(tokenize_py(" ".join(plain_parts),
+                                       self.cfg.stopwords)))
+        if prefixes:
+            if mode == "AND":
+                raise ValueError("prefix queries are OR-only")
+            for pfx in prefixes:
+                terms = sorted(set(terms)
+                               | set(self.expand_prefix(pfx,
+                                                        max_expansions)))
         if not terms:
             return empty
         dfs = self.term_stats(terms)
@@ -508,10 +567,15 @@ class Index:
         terms = [t for t in terms if dfs[t] > 0]
         if not terms:
             return empty
+        excl = sorted({t for w in (must_not or [])
+                       for t in tokenize_py(str(w), self.cfg.stopwords)})
+        if excl:
+            edfs = self.term_stats(excl)
+            excl = [t for t in excl if edfs[t] > 0]
         n_docs = self.stats["n_docs"]
         avg_dl = self.stats["avg_dl"]
         idf = {t: bm25_idf(n_docs, dfs[t]) for t in terms}
-        if (doc_filter is None and after is None and prune
+        if (doc_filter is None and after is None and prune and not excl
                 and k <= self.cfg.impact_top
                 and all(dfs[t] > self.cfg.impact_df_threshold
                         for t in terms)):
@@ -525,7 +589,7 @@ class Index:
         return self._search_terms(
             terms, dfs, idf, avg_dl, k=k, mode=mode, doc_filter=doc_filter,
             prune=prune, score_partitions=score_partitions, after=after,
-            seed_theta=seed_theta)
+            seed_theta=seed_theta, excl_terms=excl)
 
     def search_fields(self, field_queries: dict, boosts: Optional[dict] = None,
                       k: int = 10, mode: str = "OR",
@@ -592,13 +656,18 @@ class Index:
                               # metadata-agg seed self-disables on dicts
 
     def _search_terms(self, terms, dfs, idf, avg_dl, k, mode, doc_filter,
-                      prune, score_partitions, after, seed_theta):
+                      prune, score_partitions, after, seed_theta,
+                      excl_terms=None):
         """Shared execution path for search()/search_fields(): pruned
         block scan -> one chunk shuffle -> streamed scorer -> top-k.
-        ``avg_dl``: scalar, or dict term->avgdl (per-field norms)."""
+        ``avg_dl``: scalar, or dict term->avgdl (per-field norms).
+        ``excl_terms``: MUST_NOT terms — their blocks ride the same scan
+        (doc-id streams only) and mask candidates inside the scorer."""
         spark = self.spark
+        excl_terms = excl_terms or []
         empty = spark.createDataFrame([], "doc_id long, score double")
-        buckets = sorted({term_bucket(t, self.cfg.n_buckets) for t in terms})
+        buckets = sorted({term_bucket(t, self.cfg.n_buckets)
+                          for t in list(terms) + list(excl_terms)})
         # D9 filters: a selective filter is broadcast INTO the scorer (the
         # allowed doc_id set, sorted), so heap truncation + WAND keep
         # bounding the candidate set; only a huge filter side falls back to
@@ -613,7 +682,7 @@ class Index:
         blocks = (
             src
             .where(F.col("bucket").isin(buckets))
-            .where(F.col("term").isin(terms))
+            .where(F.col("term").isin(list(terms) + list(excl_terms)))
             .select("term", "chunk", "first_doc_id", "last_doc_id",
                     "num_docs", "max_tf", "min_dl",
                     "docs_enc", "tfs_enc", "dls_enc")
@@ -632,10 +701,13 @@ class Index:
             4, min(256, 2 * par, q_blocks // 2048))
         theta0 = 0.0
         if (prune and truncate and allowed_bc is None and after is None
-                and seed_theta is not False):
+                and not excl_terms and seed_theta is not False):
             # sidecar seed first: one tiny cached pruned read, works for
             # per-field avgdl too; the metadata-agg seed (two jobs) only
-            # runs for wide fan-outs the sidecar couldn't seed
+            # runs for wide fan-outs the sidecar couldn't seed. MUST_NOT
+            # disables both seeds: an excluded doc's achieved score is NOT
+            # a lower bound of the k-th SURVIVING score (the _seed_theta
+            # leg below would be maskable, but the sidecar θ0 is not)
             theta0 = self._impact_theta0(terms, idf, avg_dl, k, mode)
             if theta0 <= 0.0 and (seed_theta is True
                                   or q_blocks >= THETA_SEED_MIN_BLOCKS):
@@ -646,7 +718,7 @@ class Index:
             avg_dl=avg_dl, k=k, mode=mode, prune=prune and truncate,
             truncate=truncate, chunk_bits=self.cfg.chunk_bits,
             allowed_bc=allowed_bc, after=after, theta0=theta0,
-            denied_bc=self._denied(),
+            denied_bc=self._denied(), excl_terms=set(excl_terms),
         )
         cand = (
             blocks.repartition(np_parts, "chunk")
@@ -1044,7 +1116,7 @@ class Index:
 
 def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
                  chunk_bits, allowed_bc=None, after=None, theta0=0.0,
-                 denied_bc=None):
+                 denied_bc=None, excl_terms=None):
     """Build the mapInPandas scoring function. Input arrives chunk-sorted
     within the partition (sortWithinPartitions upstream); the scorer STREAMS
     complete chunk runs off the Arrow batch iterator with a carry for the
@@ -1127,6 +1199,18 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
                   if (tarr == t).any()}
         if mode == "AND" and len(sel_of) < m:
             return heap_docs, heap_scores
+        ex_set = None
+        if excl_terms:
+            # MUST_NOT [public: Lucene BooleanQuery MUST_NOT]: the chunk's
+            # excluded-doc set from the excluded terms' doc-id streams
+            # ONLY (tf/dl never decoded — exclusion doesn't score)
+            exm = np.isin(tarr, list(excl_terms))
+            if exm.any():
+                ex = rows[exm]
+                nd_e = ex["num_docs"].to_numpy(dtype=np.int64)
+                ex_set = np.unique(delta_decode_blocks(
+                    decode_blocks(ex["docs_enc"].to_numpy(), nd_e), nd_e,
+                    ex["first_doc_id"].to_numpy(dtype=np.int64)))
         ubs = {}
         margin = 0.0
         if prune and theta is not None:
@@ -1203,6 +1287,14 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
                 total[pos] += idf_arr[t] * tf_norm(tf, dl, avg_of[t])
             docs_out, scores_out = all_docs, total
 
+        if ex_set is not None and ex_set.size and docs_out.size:
+            # MUST_NOT mask, pre-heap (same lossless argument as the
+            # tombstone mask below); survivor scores are untouched
+            keep = _live_mask_arr(docs_out, ex_set)
+            if keep is not None:
+                docs_out, scores_out = docs_out[keep], scores_out[keep]
+                if docs_out.size == 0:
+                    return heap_docs, heap_scores
         if denied_bc is not None and docs_out.size:
             # tombstone mask [public: Lucene liveDocs], pre-heap so θ only
             # ever grows from live docs (a deleted doc's score seeding the
