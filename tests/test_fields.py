@@ -33,7 +33,12 @@ def _oracle_bm25f(corpus, field_queries, boosts, k=10, mode="OR",
         "tool": [tokenize_py(t if t is not None else None)
                  for t in corpus["tool"]],
     }
-    avg = {f: sum(len(x) for x in tk) / n for f, tk in toks.items()}
+    # per-field docCount [public: Lucene per-field BM25]: avgdl and idf
+    # use the count of docs that HAVE the field (VERDICT r4 #7)
+    n_f = {f: sum(1 for x in tk if x) for f, tk in toks.items()}
+    n_f["text"] = n                       # the main field keeps corpus stats
+    avg = {f: sum(len(x) for x in tk) / max(1, n_f[f])
+           for f, tk in toks.items()}
     scores, matched, required = {}, {}, []
     for f, q in field_queries.items():
         for t in sorted(set(tokenize_py(q))):
@@ -41,7 +46,8 @@ def _oracle_bm25f(corpus, field_queries, boosts, k=10, mode="OR",
             required.append((f, t, df_t))
             if df_t == 0:
                 continue
-            idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+            nn = n_f[f]
+            idf = math.log(1 + (nn - df_t + 0.5) / (df_t + 0.5))
             w = boosts.get(f, 1.0) * idf
             for d, tk in enumerate(toks[f]):
                 tf = tk.count(t)
@@ -184,3 +190,51 @@ def test_fielded_phrase_matches_oracle(spark, tmp_path):
     assert ix.phrase("alpha", field="title", k=5).count() > 0
     with pytest.raises(ValueError):
         ix.phrase("alpha beta", field="nosuch")
+
+
+def test_sparse_field_ranks_like_dense_subset_index(spark, tmp_path):
+    """VERDICT r4 #7 'done' criterion: a field present on only half the
+    docs must rank (and score) those docs exactly as a dense index built
+    on just the subset — per-field docCount drives both avgdl and idf."""
+    import pandas as pd
+
+    from parser_indexer_spark.transcripts import synthesize_pandas
+    pdf = synthesize_pandas(800).sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    rng = np.random.default_rng(11)
+    # sparse 'note' field: present on ~50% of docs, 1-3 tokens
+    words = np.array(["alpha", "beta", "gamma", "delta"])
+    has = rng.random(len(pdf)) < 0.5
+    notes = np.where(
+        has,
+        [" ".join(rng.choice(words, size=int(rng.integers(1, 4))))
+         for _ in range(len(pdf))],
+        None)
+    pdf["note"] = notes
+
+    cfg = EngineConfig(n_buckets=4, build_partitions=4, chunk_bits=9,
+                       fields=("note",))
+    sparse_root = str(tmp_path / "sparse")
+    build_index(spark, spark.createDataFrame(pdf), sparse_root, cfg,
+                segments=2)
+    ix_sparse = Index(spark, sparse_root)
+    assert ix_sparse.stats["fields"]["note"]["n_docs"] == int(has.sum())
+
+    # dense index over ONLY the subset, with note as the main text
+    sub = pdf[has].copy().reset_index(drop=True)
+    sub["text"] = sub["note"]
+    dense_root = str(tmp_path / "dense")
+    build_index(spark, spark.createDataFrame(sub.drop(columns=["note"])),
+                dense_root,
+                EngineConfig(n_buckets=4, build_partitions=4, chunk_bits=9),
+                segments=1)
+    ix_dense = Index(spark, dense_root)
+
+    # map sparse doc_ids -> dense subset positions
+    sparse_ids = np.flatnonzero(has)
+    for q in ["alpha", "alpha beta", "gamma delta alpha"]:
+        got = [(r.doc_id, r.score) for r in
+               ix_sparse.search_fields({"note": q}, k=20).collect()]
+        exp = [(int(sparse_ids[r.doc_id]), r.score) for r in
+               ix_dense.search(q, k=20).collect()]
+        assert got == exp, q
