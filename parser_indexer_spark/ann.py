@@ -78,13 +78,22 @@ def build_ann_index(spark: SparkSession, emb: DataFrame, out_dir: str,
 
 
 def ann_query(spark: SparkSession, emb: DataFrame, index_dir: str,
-              query_vec_id: int = 0, k: int = 10) -> DataFrame:
+              query_vec_id: int = 0, k: int = 10,
+              probe_hamming1: bool = False) -> DataFrame:
     """Top-k cosine neighbours of ``query_vec_id`` via the materialized
     index: (1) the query's own bucket row from the small wide table, (2) a
     PARTITION-PRUNED read of its <= L (t, b) bucket partitions, (3) exact
     cosine re-rank of the candidates only (broadcast semi-join into the
     embeddings table). The embeddings table is scanned only for the
-    candidate join — never for hashing."""
+    candidate join — never for hashing.
+
+    ``probe_hamming1`` (VERDICT r4 #8) [public: Lv et al. 2007 multi-probe
+    LSH]: additionally read each table's n_planes Hamming-1 neighbour
+    buckets (one sign bit flipped). A near neighbour that crossed ONE
+    hyperplane of every table is still found, lifting recall without a
+    rebuild; the scan stays partition-pruned at <= L * (1 + n_planes)
+    bucket partitions, and the exact re-rank keeps the candidate set's
+    growth from changing any returned score."""
     meta = CATALOG.read_meta(_meta_path(index_dir))
     L = meta["n_tables"]
     q = (spark.read.parquet(os.path.join(index_dir, "vectors"))
@@ -93,7 +102,10 @@ def ann_query(spark: SparkSession, emb: DataFrame, index_dir: str,
         raise ValueError(f"vec_id {query_vec_id} not in ANN index")
     cond = None
     for t in range(L):
-        c = (F.col("t") == t) & (F.col("b") == int(q[f"b{t}"]))
+        bs = [int(q[f"b{t}"])]
+        if probe_hamming1:
+            bs += [bs[0] ^ (1 << i) for i in range(meta["n_planes"])]
+        c = (F.col("t") == t) & (F.col("b").isin(bs))
         cond = c if cond is None else (cond | c)
     cand = (spark.read.parquet(os.path.join(index_dir, "buckets"))
             .where(cond).where(F.col("vec_id") != query_vec_id)

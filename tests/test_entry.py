@@ -90,3 +90,47 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"doc_id", "score"}
+
+
+# operator-family coverage map (VERDICT r4 #10): every SURVEY §2 family
+# with a SQL-expressible representative must keep at least one entry in
+# the DRIVER-FACING queries() (not just extra_queries()) — a future
+# overflow shuffle must never silently orphan a family from the report.
+_FAMILY_REPRESENTATIVES = {
+    "scan-project-filter": ["project_filter"],
+    "joins": ["join_broadcast", "join_sortmerge", "join_semi", "join_anti",
+              "asof_join"],
+    "aggregation": ["agg_stats", "agg_distinct", "cube_lang_source",
+                    "facet_count", "facet_percentile"],
+    "window": ["window_rank", "window_lag_frame"],
+    "sort-topk-paging": ["topk_orders", "topk_orders_page2"],
+    "setops": ["setop_union"],
+    "string-date-json-array": ["str_tokens", "date_trunc_agg",
+                               "json_extract", "array_explode_tf"],
+    "fulltext-bm25": ["topk_bm25", "topk_bm25_and", "topk_bm25_stop"],
+    "fulltext-boolean": ["topk_bm25_not", "topk_prefix"],
+    "phrase": ["topk_phrase", "topk_phrase_slop"],
+    "fielded": ["topk_bm25_fielded"],
+    "dict-suggest-spell": ["term_dict_stats", "term_suggest", "spellcheck",
+                           "more_like_this"],
+    "dedup": ["dedup_exact", "dedup_near_pairs", "minhash_signature",
+              "simhash8", "simhash64", "dedup_embedding_pairs"],
+    "ann": ["ann_cosine", "ann_cosine_lsh", "ann_cosine_lsh_multi",
+            "ann_index_lookup"],
+    "text-analysis": ["lang_trigram", "quality_score", "token_stats",
+                      "token_count_bpe", "fingerprint_rolling"],
+    "multimodal": ["media_features"],
+    "grouped-udf": ["zscore_grouped", "median_udaf"],
+}
+
+
+def test_every_family_has_a_driver_facing_representative():
+    q = set(entrymod.queries())
+    orphaned = {fam: reps for fam, reps in _FAMILY_REPRESENTATIVES.items()
+                if not (set(reps) & q)}
+    assert not orphaned, f"families without a queries() entry: {orphaned}"
+    # and the map itself must stay honest: every listed name exists
+    allq = set(_all_queries())
+    ghost = [n for reps in _FAMILY_REPRESENTATIVES.values()
+             for n in reps if n not in allq]
+    assert not ghost, f"family map lists unknown queries: {ghost}"
