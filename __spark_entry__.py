@@ -97,6 +97,25 @@ def topk_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def topk_bm25_must(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed MUST+SHOULD Boolean query via the Lucene-classic parser
+    (D1/D19 r5) [public: Lucene classic QueryParser; BooleanQuery MUST +
+    SHOULD]: '+spark join scan' — docs must contain 'spark'; 'join' and
+    'scan' stay optional but score."""
+    ix = _documents_index(spark, sf_dir)
+    top = ix.query("+spark join scan", k=_FLAGSHIP_K)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def topk_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy query (D20 r5) [public: Lucene FuzzyQuery]: 'spar~1' expands
+    to the closest dictionary terms within Levenshtein distance 1 and
+    scores them as an ordinary OR (scoring-Boolean rewrite)."""
+    ix = _documents_index(spark, sf_dir)
+    top = ix.query("spar~1", k=_FLAGSHIP_K)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def topk_bm25_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-analyzer index (Solr StopFilter analogue): 'the'/'data'/
     'fast' are dropped at index AND query time, changing dl/avgdl and
@@ -286,6 +305,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operator families keep a representative in queries()."""
     return {
         "topk_bm25_and_absent": topk_bm25_and_absent,   # topk_bm25_and
+        "topk_bm25_must": topk_bm25_must,               # topk_bm25_not
+        "topk_fuzzy": topk_fuzzy,                       # topk_prefix
         "ann_cosine_lsh_probe": relops.ann_cosine_lsh_probe,  # _lsh
         "setop_except": relops.setop_except,            # setop_union
         "setop_intersect": relops.setop_intersect,      # setop_union
@@ -298,22 +319,37 @@ _TOK = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
 
 
 def _bm25_sql(terms_sql: str, mode: str, k: int, stop: tuple = (),
-              must_not: tuple = (), prefix: str | None = None) -> str:
+              must_not: tuple = (), prefix: str | None = None,
+              must: tuple = (), fuzzy: tuple | None = None) -> str:
     """DuckDB BM25 over documents: same formula, exact dl, k1=1.2 b=0.75.
     ``stop``: analyzer stopword list (applied to the corpus tokenization,
     mirroring the engine's index-time StopFilter). ``must_not``: docs
     containing any of these terms are dropped AFTER scoring (exclusion
     never changes survivors' scores — Lucene MUST_NOT). ``prefix``: derive
     the query term set as every corpus term with this prefix instead of a
-    literal list (Lucene PrefixQuery scoring rewrite)."""
+    literal list (Lucene PrefixQuery scoring rewrite). ``must``: docs must
+    contain every one of these terms (include them in ``terms_sql`` too);
+    the remaining terms still score — Lucene BooleanQuery MUST + SHOULD.
+    ``fuzzy``: (word, max_dist) — the query term set is the 50 closest
+    corpus terms within Levenshtein distance, (distance, term)-ordered,
+    mirroring Index.expand_fuzzy's Lucene-style best-terms cap."""
     having = "" if mode == "OR" else \
         f"HAVING count(*) = (SELECT count(*) FROM qterms)"
+    if must and mode == "OR":
+        m_in = ", ".join(f"'{w}'" for w in must)
+        having = (f"HAVING count(DISTINCT CASE WHEN term IN ({m_in}) "
+                  f"THEN term END) = {len(must)}")
     tok_expr = _TOK
     if stop:
         inlist = ", ".join(f"'{w}'" for w in stop)
         tok_expr = f"list_filter({_TOK}, x -> x NOT IN ({inlist}))"
     if prefix is not None:
         qterms = f"SELECT DISTINCT term FROM tok WHERE term LIKE '{prefix}%'"
+    elif fuzzy is not None:
+        w, d = fuzzy
+        qterms = (f"SELECT term FROM (SELECT DISTINCT term FROM tok) "
+                  f"WHERE levenshtein(term, '{w}') <= {d} "
+                  f"ORDER BY levenshtein(term, '{w}'), term LIMIT 50")
     else:
         qterms = f"SELECT unnest([{terms_sql}]) AS term"
     not_where = ""
@@ -607,6 +643,9 @@ def oracle_sql() -> dict[str, str]:
             "'agg', 'hash', 'zzzabsentterm'", "AND", _FLAGSHIP_K),
         "topk_bm25_not": _bm25_sql("'join', 'spark'", "OR", _FLAGSHIP_K,
                                    must_not=("scan",)),
+        "topk_bm25_must": _bm25_sql("'join', 'scan', 'spark'", "OR",
+                                    _FLAGSHIP_K, must=("spark",)),
+        "topk_fuzzy": _bm25_sql("", "OR", _FLAGSHIP_K, fuzzy=("spar", 1)),
         "topk_prefix": _bm25_sql("", "OR", _FLAGSHIP_K, prefix="s"),
         "topk_bm25_stop": _bm25_sql("'join', 'spark'", "OR", _FLAGSHIP_K,
                                     stop=_STOP_LIST),

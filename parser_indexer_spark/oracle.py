@@ -59,16 +59,26 @@ class OracleIndex:
         df = self.df.get(term, 0)
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def search(self, query: str, k: int = 10, mode: str = "OR"):
-        """-> list[(doc_id, score)] ordered by (score desc, doc_id asc)."""
-        terms = sorted(set(tokenize_py(query, self.stopwords)))
+    def search(self, query: str, k: int = 10, mode: str = "OR",
+               must=None):
+        """-> list[(doc_id, score)] ordered by (score desc, doc_id asc).
+        ``must``: required words (mixed MUST+SHOULD Boolean semantics,
+        mirroring Index.search(must=...)): a doc must contain every one,
+        all query terms still score."""
+        req = sorted({t for w in (must or [])
+                      for t in tokenize_py(str(w), self.stopwords)})
+        terms = sorted(set(tokenize_py(query, self.stopwords)) | set(req))
         # AND with an absent term matches nothing (required-term semantics,
         # same check as Index.search — evaluated before dropping df==0 terms)
         if mode == "AND" and any(self.df.get(t, 0) == 0 for t in terms):
             return []
+        if any(self.df.get(t, 0) == 0 for t in req):
+            return []
         terms = [t for t in terms if self.df.get(t, 0) > 0]
         if not terms:
             return []
+        if mode == "AND" or (req and set(req) == set(terms)):
+            mode, req = "AND", []
         if mode == "AND":
             common = None
             for t in terms:
@@ -98,6 +108,16 @@ class OracleIndex:
                 total += contrib
             else:
                 np.add.at(total, sel_docs, contrib)
+        if req:
+            # mixed MUST+SHOULD: keep only docs containing every required
+            # term; their scores stay the full OR sums computed above
+            keep = np.ones(docs.size, dtype=bool)
+            for t in req:
+                keep &= np.isin(docs, self.postings[t][0],
+                                assume_unique=True)
+            docs, total = docs[keep], total[keep]
+            if docs.size == 0:
+                return []
         order = np.lexsort((docs, -total))[:k]
         return [(int(docs[i]), float(total[i])) for i in order]
 

@@ -503,12 +503,42 @@ class Index:
                 "terms; use a longer prefix or raise max_expansions")
         return out
 
+    def expand_fuzzy(self, word: str, max_dist: int = 2,
+                     max_expansions: int = 50) -> list[str]:
+        """Dictionary terms within Levenshtein distance ``max_dist`` of
+        ``word`` [public: Lucene FuzzyQuery]. Candidates come from the
+        char-bigram q-gram filter when it is LOSSLESS — a term at edit
+        distance d shares at least len(word)-1-2d bigrams with the word
+        (q-gram lemma), so the filter is complete only while that bound
+        is >= 1; shorter words scan the full dictionary. Ranked (distance
+        asc, term asc) and capped at ``max_expansions`` keeping the
+        CLOSEST terms (Lucene's best-terms rewrite cap — unlike prefix
+        expansion, exceeding the cap is normal, not an error; Lucene
+        classic caps a DFA enumeration the same way)."""
+        if not word:
+            raise ValueError("empty fuzzy term")
+        cand = self._dict_df.select("term").distinct()
+        if (len(word) - 1) - 2 * max_dist >= 1:
+            pred = None
+            for g in sorted({word[i:i + 2] for i in range(len(word) - 1)}):
+                c = F.col("term").contains(g)
+                pred = c if pred is None else (pred | c)
+            cand = cand.where(pred)
+        rows = (cand
+                .withColumn("dist", F.levenshtein(F.col("term"),
+                                                  F.lit(word)))
+                .where(F.col("dist") <= max_dist)
+                .orderBy(F.asc("dist"), F.asc("term"))
+                .limit(max_expansions).collect())
+        return [r["term"] for r in rows]
+
     def search(self, query: str, k: int = 10, mode: str = "OR",
                doc_filter: Optional[str] = None, prune: bool = True,
                score_partitions: Optional[int] = None,
                after: Optional[tuple] = None,
                seed_theta: Optional[bool] = None,
                must_not: Optional[list] = None,
+               must: Optional[list] = None,
                max_expansions: int = 64) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id long, score double), ordered
         by (score desc, doc_id asc), <= k rows.
@@ -528,6 +558,13 @@ class Index:
         them are masked pre-heap; survivors' scores are untouched
         (exclusion never contributes to scoring). A pure-negative query
         (no surviving positive term) returns empty, as in Lucene.
+
+        must: words that are REQUIRED [public: Lucene BooleanQuery MUST +
+        SHOULD]: a doc matches only if it contains every one of them, but
+        the remaining (SHOULD) query terms still add to its score — the
+        classic '+term' semantics. A must-word absent from the index
+        matches nothing, exactly like mode="AND". must ⊆ query terms is
+        not needed; must words join the scored term set automatically.
 
         Prefix queries: a whitespace token ending in '*' (e.g. "spar*")
         expands to every dictionary term with that prefix (bounded by
@@ -549,6 +586,10 @@ class Index:
                 plain_parts.append(part)
         terms = sorted(set(tokenize_py(" ".join(plain_parts),
                                        self.cfg.stopwords)))
+        req = sorted({t for w in (must or [])
+                      for t in tokenize_py(str(w), self.cfg.stopwords)})
+        if req:
+            terms = sorted(set(terms) | set(req))
         if prefixes:
             if mode == "AND":
                 raise ValueError("prefix queries are OR-only")
@@ -561,12 +602,18 @@ class Index:
         dfs = self.term_stats(terms)
         # required-term semantics [public: Lucene BooleanQuery MUST]: an AND
         # query containing a term absent from the index matches nothing —
-        # checked against the ORIGINAL term list, before dropping df==0 terms
+        # checked against the ORIGINAL term list, before dropping df==0
+        # terms; a MUST word absent from the index matches nothing too
         if mode == "AND" and any(dfs[t] == 0 for t in terms):
+            return empty
+        if any(dfs[t] == 0 for t in req):
             return empty
         terms = [t for t in terms if dfs[t] > 0]
         if not terms:
             return empty
+        if mode == "AND" or (req and set(req) == set(terms)):
+            # every term required: the dedicated AND path IS this query
+            mode, req = "AND", []
         excl = sorted({t for w in (must_not or [])
                        for t in tokenize_py(str(w), self.cfg.stopwords)})
         if excl:
@@ -576,7 +623,7 @@ class Index:
         avg_dl = self.stats["avg_dl"]
         idf = {t: bm25_idf(n_docs, dfs[t]) for t in terms}
         if (doc_filter is None and after is None and prune and not excl
-                and k <= self.cfg.impact_top
+                and not req and k <= self.cfg.impact_top
                 and all(dfs[t] > self.cfg.impact_df_threshold
                         for t in terms)):
             if len(terms) == 1:
@@ -589,13 +636,15 @@ class Index:
         return self._search_terms(
             terms, dfs, idf, avg_dl, k=k, mode=mode, doc_filter=doc_filter,
             prune=prune, score_partitions=score_partitions, after=after,
-            seed_theta=seed_theta, excl_terms=excl)
+            seed_theta=seed_theta, excl_terms=excl, required=req or None)
 
     def search_fields(self, field_queries: dict, boosts: Optional[dict] = None,
                       k: int = 10, mode: str = "OR",
                       doc_filter: Optional[str] = None, prune: bool = True,
                       score_partitions: Optional[int] = None,
-                      after: Optional[tuple] = None) -> DataFrame:
+                      after: Optional[tuple] = None,
+                      must: Optional[dict] = None,
+                      must_not: Optional[dict] = None) -> DataFrame:
         """Multi-field search with per-field boosts (Solr qf/dismax
         analogue [public: Solr DisMaxQParser]; requires an index built with
         cfg.fields). ``field_queries`` maps field -> query string; "text"
@@ -608,64 +657,203 @@ class Index:
         mode="AND" requires every term of every field to match. Same
         one-shuffle plan, truncation, WAND, filters, and paging as
         search(); the boost folds into the per-term idf weight, so the
-        scorer and its block-max bounds need no special casing."""
+        scorer and its block-max bounds need no special casing.
+
+        ``must``: dict field -> words that are REQUIRED (Lucene MUST on a
+        fielded clause, '+field:term'); ``must_not``: dict field -> words
+        whose docs are EXCLUDED ('-field:term') — exclusion rides the
+        same block scan via the fielded term names and never scores."""
         boosts = boosts or {}
-        unknown = [f for f in field_queries
+        must = must or {}
+        must_not = must_not or {}
+        unknown = [f for f in list(field_queries) + list(must)
+                   + list(must_not)
                    if f != "text" and f not in self.cfg.fields]
         if unknown:
             raise ValueError(f"fields {unknown} not indexed "
                              f"(cfg.fields={list(self.cfg.fields)})")
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         terms, boost_of, avg_of, nd_of = [], {}, {}, {}
+        req: list = []
         favg = self.stats.get("fields", {})
-        for f, q in field_queries.items():
-            if f != "text" and favg.get(f) is None:
-                # the field is configured but produced NO postings (e.g.
-                # all-null column): no document can match its leg — treat
-                # as zero-score rather than KeyError (ADVICE r3). AND mode
-                # falls through to the required-term df==0 check below.
-                if mode == "AND" and tokenize_py(q, self.cfg.stopwords):
-                    return empty
-                continue
-            for t in sorted(set(tokenize_py(q, self.cfg.stopwords))):
-                ft = t if f == "text" else f"{f}:{t}"
-                terms.append(ft)
-                boost_of[ft] = float(boosts.get(f, 1.0))
-                # per-field docCount normalization (VERDICT r4 #7)
-                # [public: Lucene per-field BM25 docCount]: both avgdl
-                # AND idf use the field's own doc count, so a 50%-sparse
-                # field ranks exactly as a dense index built on the
-                # subset would (tests/test_fields.py)
-                avg_of[ft] = (self.stats["avg_dl"] if f == "text"
-                              else favg[f]["avg_dl"])
-                nd_of[ft] = (self.stats["n_docs"] if f == "text"
-                             else favg[f].get("n_docs",
-                                              self.stats["n_docs"]))
+        for occur, fq in (("SHOULD", field_queries), ("MUST", must)):
+            for f, q in fq.items():
+                if f != "text" and favg.get(f) is None:
+                    # the field is configured but produced NO postings
+                    # (e.g. all-null column): no document can match its
+                    # leg — treat as zero-score rather than KeyError
+                    # (ADVICE r3). AND mode / MUST fall through to the
+                    # required-term df==0 check below.
+                    if (mode == "AND" or occur == "MUST") \
+                            and tokenize_py(q, self.cfg.stopwords):
+                        return empty
+                    continue
+                for t in sorted(set(tokenize_py(q, self.cfg.stopwords))):
+                    ft = t if f == "text" else f"{f}:{t}"
+                    terms.append(ft)
+                    if occur == "MUST":
+                        req.append(ft)
+                    boost_of[ft] = float(boosts.get(f, 1.0))
+                    # per-field docCount normalization (VERDICT r4 #7)
+                    # [public: Lucene per-field BM25 docCount]: both avgdl
+                    # AND idf use the field's own doc count, so a
+                    # 50%-sparse field ranks exactly as a dense index
+                    # built on the subset would (tests/test_fields.py)
+                    avg_of[ft] = (self.stats["avg_dl"] if f == "text"
+                                  else favg[f]["avg_dl"])
+                    nd_of[ft] = (self.stats["n_docs"] if f == "text"
+                                 else favg[f].get("n_docs",
+                                                  self.stats["n_docs"]))
         terms = sorted(set(terms))
+        req = sorted(set(req))
         if not terms:
             return empty
         dfs = self.term_stats(terms)
         if mode == "AND" and any(dfs[t] == 0 for t in terms):
             return empty
+        if any(dfs[t] == 0 for t in req):
+            return empty
         terms = [t for t in terms if dfs[t] > 0]
         if not terms:
             return empty
+        if mode == "AND" or (req and set(req) == set(terms)):
+            mode, req = "AND", []
+        excl = sorted({(t if f == "text" else f"{f}:{t}")
+                       for f, q in must_not.items()
+                       for t in tokenize_py(str(q), self.cfg.stopwords)})
+        if excl:
+            edfs = self.term_stats(excl)
+            excl = [t for t in excl if edfs[t] > 0]
         idf = {t: boost_of[t] * bm25_idf(nd_of[t], dfs[t]) for t in terms}
         return self._search_terms(
             terms, dfs, idf, {t: avg_of[t] for t in terms}, k=k, mode=mode,
             doc_filter=doc_filter, prune=prune,
             score_partitions=score_partitions, after=after,
-            seed_theta=None)  # sidecar seed handles per-field avgdl; the
+            seed_theta=None,  # sidecar seed handles per-field avgdl; the
                               # metadata-agg seed self-disables on dicts
+            excl_terms=excl, required=req or None)
+
+    def query(self, qs: str, k: int = 10,
+              doc_filter: Optional[str] = None, prune: bool = True,
+              score_partitions: Optional[int] = None,
+              after: Optional[tuple] = None,
+              max_expansions: int = 64) -> DataFrame:
+        """Lucene-classic query-string surface (D1 upgrade, r5) [public:
+        Lucene classic QueryParser; Solr lucene QParser]: one entry point
+        that parses ``qs`` (see querystring.parse_query for the exact
+        grammar) and routes onto the native execution paths —
+
+          spark join              OR terms                -> search()
+          +spark join -scan       MUST / SHOULD / MUST_NOT -> search(must=,
+                                                             must_not=)
+          "sort merge"~2 -scan    phrase (slop) + exclusion -> phrase()
+          spar* databse~1         prefix / fuzzy expansion -> scored OR
+          source:src7^2 +lang:en  fielded terms w/ boosts  -> search_fields()
+
+        A phrase clause must be the only SCORED clause (MUST_NOT term
+        clauses may accompany it); combining a phrase with other scored
+        clauses raises — the summed PhraseQuery+TermQuery score is a
+        different scorer this engine does not implement, and silently
+        dropping a clause would be worse than saying so."""
+        from parser_indexer_spark.querystring import parse_query
+        pq = parse_query(qs)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not pq.clauses:
+            return empty
+        pos = [c for c in pq.clauses if c.occur != "MUST_NOT"]
+        neg = [c for c in pq.clauses if c.occur == "MUST_NOT"]
+        if not pos:
+            return empty    # pure-negative matches nothing (Lucene)
+        common = dict(k=k, doc_filter=doc_filter, prune=prune,
+                      score_partitions=score_partitions, after=after)
+        phrases = [c for c in pos if c.kind == "phrase"]
+        if phrases:
+            if len(pos) != 1:
+                raise ValueError(
+                    "a phrase clause cannot be combined with other scored "
+                    "clauses; run them as separate queries")
+            c = phrases[0]
+            bad = [n for n in neg if n.kind != "term"
+                   or n.field not in (None, c.field)]
+            if bad:
+                raise ValueError(
+                    "with a phrase clause, MUST_NOT supports plain term "
+                    "clauses in the phrase's own field only")
+            return self.phrase(c.text, slop=c.slop,
+                               field=c.field or "text",
+                               must_not=[n.text for n in neg], **common)
+        fielded = any(c.field for c in pq.clauses)
+        if fielded:
+            bad = [c for c in pos if c.kind not in ("term",)]
+            if bad:
+                raise ValueError(
+                    "prefix/fuzzy clauses are not supported in fielded "
+                    "queries; use plain terms or an unfielded query")
+            if any(n.kind != "term" for n in neg):
+                raise ValueError("fielded MUST_NOT supports plain term "
+                                 "clauses only")
+
+            def group(clauses):
+                out: dict[str, list] = {}
+                for c in clauses:
+                    out.setdefault(c.field or "text", []).append(c.text)
+                return {f: " ".join(ts) for f, ts in out.items()}
+
+            boosts: dict[str, float] = {}
+            for c in pos:
+                f = c.field or "text"
+                if f in boosts and boosts[f] != c.boost:
+                    raise ValueError(
+                        f"conflicting boosts for field {f!r}: one boost "
+                        "per field (search_fields folds boosts per field)")
+                boosts[f] = c.boost
+            return self.search_fields(
+                group([c for c in pos if c.occur == "SHOULD"]),
+                boosts=boosts, mode="OR",
+                must=group([c for c in pos if c.occur == "MUST"]),
+                must_not=group(neg), **common)
+        should: list[str] = []
+        for c in pos:
+            if c.occur != "SHOULD":
+                continue
+            if c.kind == "term":
+                should.append(c.text)
+            elif c.kind == "prefix":
+                should.append(c.text + "*")
+            else:                     # fuzzy: expansions join the OR as
+                toks = tokenize_py(c.text, self.cfg.stopwords)
+                word = toks[-1] if toks else ""
+                if word:              # scored terms (FuzzyQuery rewrite)
+                    should.extend(self.expand_fuzzy(word, c.max_dist))
+        excl: list[str] = []
+        for n in neg:
+            if n.kind == "term":
+                excl.append(n.text)
+            elif n.kind == "prefix":
+                excl.extend(self.expand_prefix(
+                    (tokenize_py(n.text, self.cfg.stopwords) or [""])[-1],
+                    max_expansions))
+            else:
+                toks = tokenize_py(n.text, self.cfg.stopwords)
+                if toks:
+                    excl.extend(self.expand_fuzzy(toks[-1], n.max_dist))
+        must = [c.text for c in pos if c.occur == "MUST"]
+        if not should and not must:
+            return empty
+        return self.search(" ".join(should), mode="OR", must=must,
+                           must_not=excl, max_expansions=max_expansions,
+                           **common)
 
     def _search_terms(self, terms, dfs, idf, avg_dl, k, mode, doc_filter,
                       prune, score_partitions, after, seed_theta,
-                      excl_terms=None):
+                      excl_terms=None, required=None):
         """Shared execution path for search()/search_fields(): pruned
         block scan -> one chunk shuffle -> streamed scorer -> top-k.
         ``avg_dl``: scalar, or dict term->avgdl (per-field norms).
         ``excl_terms``: MUST_NOT terms — their blocks ride the same scan
-        (doc-id streams only) and mask candidates inside the scorer."""
+        (doc-id streams only) and mask candidates inside the scorer.
+        ``required``: MUST-term subset (mixed Boolean queries); candidates
+        must contain every one of them, the rest still score."""
         spark = self.spark
         excl_terms = excl_terms or []
         empty = spark.createDataFrame([], "doc_id long, score double")
@@ -710,18 +898,23 @@ class Index:
             # runs for wide fan-outs the sidecar couldn't seed. MUST_NOT
             # disables both seeds: an excluded doc's achieved score is NOT
             # a lower bound of the k-th SURVIVING score (the _seed_theta
-            # leg below would be maskable, but the sidecar θ0 is not)
-            theta0 = self._impact_theta0(terms, idf, avg_dl, k, mode)
+            # leg below would be maskable, but the sidecar θ0 is not).
+            # With required terms the sidecar seed runs in AND mode: a
+            # fully-covered doc contains every term, so it meets any MUST
+            # subset and its exact full sum is an achieved score
+            theta0 = self._impact_theta0(
+                terms, idf, avg_dl, k, "AND" if required else mode)
             if theta0 <= 0.0 and (seed_theta is True
                                   or q_blocks >= THETA_SEED_MIN_BLOCKS):
                 theta0 = self._seed_theta(blocks, terms, idf, avg_dl, k,
-                                          mode)
+                                          mode, required=required)
         scorer = _make_scorer(
             terms=terms, idf=idf, k1=self.cfg.k1, b=self.cfg.b,
             avg_dl=avg_dl, k=k, mode=mode, prune=prune and truncate,
             truncate=truncate, chunk_bits=self.cfg.chunk_bits,
             allowed_bc=allowed_bc, after=after, theta0=theta0,
             denied_bc=self._denied(), excl_terms=set(excl_terms),
+            required=required,
         )
         cand = (
             blocks.repartition(np_parts, "chunk")
@@ -738,7 +931,8 @@ class Index:
                doc_filter: Optional[str] = None, prune: bool = True,
                score_partitions: Optional[int] = None,
                after: Optional[tuple] = None,
-               seed_theta: Optional[bool] = None) -> DataFrame:
+               seed_theta: Optional[bool] = None,
+               must_not: Optional[list] = None) -> DataFrame:
         """Top-k phrase / ordered-proximity query over positional postings
         (D-phrase) [public: Lucene PhraseQuery / SloppyPhraseScorer].
 
@@ -792,20 +986,30 @@ class Index:
         # a phrase containing an index-absent term matches nothing
         if any(dfs[t] == 0 for t in uniq):
             return empty
+        # MUST_NOT on the phrase path [public: Lucene BooleanQuery with a
+        # PhraseQuery MUST clause]: exclusion terms match in the SAME
+        # field as the phrase; their doc-id streams ride the block scan
+        # and mask candidates pre-heap, like the term path
+        excl = sorted({(t if field == "text" else f"{field}:{t}")
+                       for w in (must_not or [])
+                       for t in tokenize_py(str(w), self.cfg.stopwords)})
+        if excl:
+            edfs = self.term_stats(excl)
+            excl = [t for t in excl if edfs[t] > 0]
         if len(toks) == 1:
             if field == "text":
                 # single-term phrase == single-term BM25 (phrase_tf == tf)
                 return self.search(query, k=k, doc_filter=doc_filter,
                                    prune=prune,
                                    score_partitions=score_partitions,
-                                   after=after)
+                                   after=after, must_not=must_not)
             n_docs = favg.get("n_docs", self.stats["n_docs"])
             t0 = toks[0]
             return self._search_terms(
                 [t0], dfs, {t0: bm25_idf(n_docs, dfs[t0])}, {t0: avg_dl},
                 k=k, mode="OR", doc_filter=doc_filter, prune=prune,
                 score_partitions=score_partitions, after=after,
-                seed_theta=None)
+                seed_theta=None, excl_terms=excl)
         # per-field docCount (VERDICT r4 #7): a fielded phrase scores with
         # the field's own doc count, like search_fields
         n_docs = (self.stats["n_docs"] if field == "text"
@@ -813,7 +1017,8 @@ class Index:
         idf = {t: bm25_idf(n_docs, dfs[t]) for t in uniq}
         idf_sum = float(sum(idf[t] for t in toks))
 
-        buckets = sorted({term_bucket(t, self.cfg.n_buckets) for t in uniq})
+        buckets = sorted({term_bucket(t, self.cfg.n_buckets)
+                          for t in list(uniq) + list(excl)})
         allowed_bc, allowed_df, truncate, is_empty = \
             self._resolve_filter(doc_filter)
         if is_empty:
@@ -824,7 +1029,7 @@ class Index:
         blocks = (
             src
             .where(F.col("bucket").isin(buckets))
-            .where(F.col("term").isin(uniq))
+            .where(F.col("term").isin(list(uniq) + list(excl)))
             .select("term", "chunk", "first_doc_id", "num_docs",
                     "max_tf", "min_dl", "docs_enc", "tfs_enc", "dls_enc",
                     "pos_enc")
@@ -837,9 +1042,11 @@ class Index:
             4, min(256, 2 * par, q_blocks // 2048))
         theta0 = 0.0
         if (prune and truncate and allowed_bc is None and after is None
-                and seed_theta is not False
+                and not excl and seed_theta is not False
                 and (seed_theta is True
                      or q_blocks >= THETA_SEED_MIN_BLOCKS)):
+            # MUST_NOT disables the seed: an excluded doc's achieved
+            # phrase score is not a lower bound of the k-th survivor
             theta0 = self._seed_theta_phrase(blocks, uniq, toks, idf_sum,
                                              avg_dl, k, slop)
         scorer = _make_phrase_scorer(
@@ -847,7 +1054,8 @@ class Index:
             b=self.cfg.b, avg_dl=avg_dl, k=k, slop=slop,
             prune=prune and truncate, truncate=truncate,
             chunk_bits=self.cfg.chunk_bits, allowed_bc=allowed_bc,
-            after=after, theta0=theta0, denied_bc=self._denied())
+            after=after, theta0=theta0, denied_bc=self._denied(),
+            excl_terms=set(excl) or None)
         cand = (
             blocks.repartition(np_parts, "chunk")
                   .sortWithinPartitions("chunk")
@@ -926,7 +1134,7 @@ class Index:
         return allowed_bc, allowed_df, True, head.size == 0
 
     def _seed_theta(self, blocks: DataFrame, terms, idf, avg_dl, k,
-                    mode) -> float:
+                    mode, required=None) -> float:
         """Cross-executor WAND θ seed (D8 v2): find the chunk with the
         highest summed per-term block-max upper bound (metadata-only agg —
         no posting decode), collect just that chunk's blocks, score it
@@ -953,7 +1161,7 @@ class Index:
         sc = _make_scorer(terms=terms, idf=idf, k1=k1, b=b, avg_dl=avg_dl,
                           k=k, mode=mode, prune=False, truncate=True,
                           chunk_bits=self.cfg.chunk_bits,
-                          denied_bc=self._denied())
+                          denied_bc=self._denied(), required=required)
         out = pd.concat(list(sc(iter([seed_rows]))), ignore_index=True)
         if len(out) < k:
             return 0.0
@@ -1122,7 +1330,7 @@ class Index:
 
 def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
                  chunk_bits, allowed_bc=None, after=None, theta0=0.0,
-                 denied_bc=None, excl_terms=None):
+                 denied_bc=None, excl_terms=None, required=None):
     """Build the mapInPandas scoring function. Input arrives chunk-sorted
     within the partition (sortWithinPartitions upstream); the scorer STREAMS
     complete chunk runs off the Arrow batch iterator with a carry for the
@@ -1139,6 +1347,13 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
     avg_of = {t: float(avg_dl[t] if isinstance(avg_dl, dict) else avg_dl)
               for t in terms_sorted}
     m = len(terms_sorted)
+    # mixed-occur Boolean query [public: Lucene BooleanQuery MUST+SHOULD]:
+    # ``required`` (a strict subset of terms) must ALL match; the rest are
+    # optional but still score. mode="AND" is the required==terms special
+    # case and keeps its dedicated leapfrog branch below.
+    req_sorted = sorted(required) if required else []
+    if req_sorted and set(req_sorted) == set(terms_sorted):
+        mode, req_sorted = "AND", []
 
     def tf_norm(tf, dl, avg):
         return tf / (tf + k1 * (1.0 - b + b * dl / avg))
@@ -1205,6 +1420,11 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
                   if (tarr == t).any()}
         if mode == "AND" and len(sel_of) < m:
             return heap_docs, heap_scores
+        # a chunk is a doc-id range, so a doc's postings for EVERY term it
+        # contains live in this same chunk: a required term with no blocks
+        # here means no doc of the chunk can match
+        if any(t not in sel_of for t in req_sorted):
+            return heap_docs, heap_scores
         ex_set = None
         if excl_terms:
             # MUST_NOT [public: Lucene BooleanQuery MUST_NOT]: the chunk's
@@ -1254,6 +1474,37 @@ def _make_scorer(terms, idf, k1, b, avg_dl, k, mode, prune, truncate,
                 d, tf, dl = per_term[t]
                 pos = np.searchsorted(d, common)
                 total += idf_arr[t] * tf_norm(tf[pos], dl[pos], avg_of[t])
+            docs_out, scores_out = common, total
+        elif req_sorted:
+            # mixed MUST+SHOULD [public: Lucene BooleanQuery]: leapfrog-
+            # intersect the REQUIRED terms exactly like the AND branch
+            # (rarest-first, membership-filtered decode), then every
+            # OPTIONAL term decodes lookup-only against the intersection
+            # — a doc outside it can never match, so optional postings
+            # beyond the candidates are never touched
+            common = allowed_chunk
+            for t in sorted(req_sorted, key=lambda u: len(sel_of[u])):
+                res = decode_term(sel_of[t], common)
+                if res is None or res[0].size == 0:
+                    return heap_docs, heap_scores
+                per_term[t] = res
+                common = res[0]
+            total = np.zeros(common.size, dtype=np.float64)
+            for t in terms_sorted:      # frozen accumulation order
+                if t in per_term:       # required: defined on all of common
+                    d, tf, dl = per_term[t]
+                    pos = np.searchsorted(d, common)
+                    total += idf_arr[t] * tf_norm(tf[pos], dl[pos],
+                                                  avg_of[t])
+                    continue
+                if t not in sel_of:
+                    continue
+                res = decode_term(sel_of[t], common)
+                if res is None or res[0].size == 0:
+                    continue
+                d, tf, dl = res        # member-filtered => d ⊆ common
+                pos = np.searchsorted(common, d)
+                total[pos] += idf_arr[t] * tf_norm(tf, dl, avg_of[t])
             docs_out, scores_out = common, total
         else:
             # MaxScore split: the longest ub-ascending prefix whose ub sum
@@ -1461,7 +1712,8 @@ def _merge_topk(heap_docs, heap_scores, docs, scores, k):
 
 def _make_phrase_scorer(phrase_terms, idf_sum, k1, b, avg_dl, k, slop,
                         prune, truncate, chunk_bits, allowed_bc=None,
-                        after=None, theta0=0.0, denied_bc=None):
+                        after=None, theta0=0.0, denied_bc=None,
+                        excl_terms=None):
     """mapInPandas positional scorer: same chunk-streaming carry pattern as
     _make_scorer; inside a chunk the phrase is matched by a BACKWARD key-set
     chain — S_i = positions of term i that start a valid suffix chain —
@@ -1475,6 +1727,15 @@ def _make_phrase_scorer(phrase_terms, idf_sum, k1, b, avg_dl, k, slop,
         return tf / (tf + k1 * (1.0 - b + b * dl / avg_dl))
 
     def score_chunk(rows: pd.DataFrame, heap_docs, heap_scores):
+        ex_rows = None
+        if excl_terms:
+            # split MUST_NOT rows off before the presence check — an
+            # excluded term's blocks must never stand in for a missing
+            # phrase term
+            exm = np.isin(rows["term"].to_numpy(), list(excl_terms))
+            if exm.any():
+                ex_rows = rows[exm]
+                rows = rows[~exm]
         present = pd.unique(rows["term"].to_numpy())
         if len(present) < len(uniq):
             return heap_docs, heap_scores  # a required term is absent
@@ -1532,6 +1793,19 @@ def _make_phrase_scorer(phrase_terms, idf_sum, k1, b, avg_dl, k, slop,
             live = _live_mask_arr(common, denied_bc.value)
             if live is not None:
                 common = common[live]
+                if common.size == 0:
+                    return heap_docs, heap_scores
+        if ex_rows is not None and len(ex_rows):
+            # MUST_NOT mask [public: Lucene BooleanQuery MUST_NOT]:
+            # excluded terms' doc-id streams only (positions/tf never
+            # decoded — exclusion doesn't score), pre-heap
+            nd_e = ex_rows["num_docs"].to_numpy(dtype=np.int64)
+            ex_set = np.unique(delta_decode_blocks(
+                decode_blocks(ex_rows["docs_enc"].to_numpy(), nd_e), nd_e,
+                ex_rows["first_doc_id"].to_numpy(dtype=np.int64)))
+            keep = _live_mask_arr(common, ex_set)
+            if keep is not None:
+                common = common[keep]
                 if common.size == 0:
                     return heap_docs, heap_scores
 
