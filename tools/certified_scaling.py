@@ -24,6 +24,17 @@ Cores: the campaign is taskset-pinned to a dedicated high block (default
 touches the measured cores; the brackets certify that nothing else did
 either.
 
+Attempt 2 (r5): attempt 1 certified 0/8 pairs because the campaign-start
+baseline (22.63 it/s, median of 5) was itself sampled in a steal window —
+later controls read up to 29.4 it/s and failed the +-5 % band for being
+FASTER than the anchor, which is backwards: hypervisor steal only ever
+SLOWS the control, so the host's steal-free speed is the MAX control ever
+observed, and "provably quiet" means the brackets sit within tol BELOW
+that max.  The anchor is now max(campaign-start samples, --anchor-floor),
+where the floor defaults to 29.42 — the max control across attempt 1's 29
+samples (BENCH_SCALING_CERT.json pair_records) — and certification is
+one-sided: ctl >= (1 - tol) * anchor.
+
 Usage: nohup python tools/certified_scaling.py > /tmp/cert_scaling.log 2>&1 &
 """
 
@@ -100,9 +111,11 @@ def assemble(state: dict, out_path: str) -> dict:
             "child, leg order alternated per pair; EVERY pair bracketed by "
             "three 20 s pure-numpy mini-controls (pre/mid/post) and "
             "accepted as CERTIFIED only when all three sit within "
-            f"{state['tol']:.0%} of the campaign-start baseline "
-            f"({state['baseline_it_s']:.2f} it/s) — pairs measured while "
-            "the host was provably at baseline speed"),
+            f"{state['tol']:.0%} BELOW the steal-free anchor "
+            f"({state['baseline_it_s']:.2f} it/s = max control ever "
+            "observed; hypervisor steal only slows the control, so "
+            "ctl >= (1-tol)*anchor means the host was provably quiet "
+            "during the pair)"),
         "baseline_it_s": state["baseline_it_s"],
         "tolerance": state["tol"],
         "n_turns": state["n_turns"],
@@ -148,6 +161,10 @@ def main() -> None:
     ap.add_argument("--max-attempts", type=int, default=12)
     ap.add_argument("--budget-min", type=float, default=195.0)
     ap.add_argument("--tol", type=float, default=0.05)
+    ap.add_argument("--anchor-floor", type=float, default=29.42,
+                    help="lower bound on the steal-free anchor: the max "
+                         "control observed across attempt 1 (see module "
+                         "docstring)")
     ap.add_argument("--core-base", type=int, default=28)
     ap.add_argument("--workdir", default="/tmp/bench_scaling")
     ap.add_argument("--state", default="/tmp/cert_state.json")
@@ -171,17 +188,19 @@ def main() -> None:
     t_start = time.time()
     print("campaign-start baseline: 5 controls...", flush=True)
     base_samples = [mini_control(cores4) for _ in range(5)]
-    baseline = statistics.median(base_samples)
-    print(f"baseline {baseline:.2f} it/s (samples {base_samples})",
-          flush=True)
+    baseline = max(max(base_samples), args.anchor_floor)
+    print(f"anchor {baseline:.2f} it/s = max(samples {base_samples}, "
+          f"floor {args.anchor_floor})", flush=True)
 
     state = {"baseline_it_s": round(baseline, 2), "tol": args.tol,
              "n_turns": args.turns, "cores": cores4,
+             "anchor_rule": "max(start samples, attempt-1 max control); "
+                            "one-sided: ctl >= (1-tol)*anchor",
              "baseline_samples": [round(b, 2) for b in base_samples],
              "pairs": []}
 
     def ok(v: float) -> bool:
-        return abs(v / baseline - 1.0) <= args.tol
+        return v >= (1.0 - args.tol) * baseline
 
     attempt = 0
     while (sum(p["certified"] for p in state["pairs"]) < args.target
