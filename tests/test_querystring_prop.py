@@ -1,0 +1,94 @@
+"""Property tests for the Lucene-classic query-string parser (D1 r5).
+
+Spark-free (the parser is pure Python), so these run in milliseconds:
+the parser either returns a structured ParsedQuery or raises ValueError —
+never crashes, never silently mis-parses — and well-formed queries
+round-trip render→parse exactly.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parser_indexer_spark.querystring import Clause, parse_query
+
+WORD = st.text(alphabet=string.ascii_lowercase + string.digits,
+               min_size=1, max_size=8).filter(
+    lambda w: w.upper() not in ("AND", "OR", "NOT"))
+FIELD = st.one_of(st.none(), st.sampled_from(["text", "source", "lang"]))
+
+
+def clause_strategy() -> st.SearchStrategy[Clause]:
+    def build(kind, occur, words, fld, slop, dist, boost):
+        if kind == "phrase":
+            return Clause(text=" ".join(words), occur=occur, kind="phrase",
+                          field=fld, slop=slop)
+        if kind == "prefix":
+            # the parser requires >= 2 chars incl. the '*', SHOULD/MUST_NOT
+            return Clause(text=words[0], occur="SHOULD" if occur == "MUST"
+                          else occur, kind="prefix", field=fld)
+        if kind == "fuzzy":
+            return Clause(text=words[0], occur="SHOULD" if occur == "MUST"
+                          else occur, kind="fuzzy", field=fld, max_dist=dist)
+        boost = boost if fld is not None else 1.0
+        return Clause(text=words[0], occur=occur, kind="term", field=fld,
+                      boost=boost)
+
+    return st.builds(
+        build,
+        st.sampled_from(["term", "phrase", "prefix", "fuzzy"]),
+        st.sampled_from(["SHOULD", "MUST", "MUST_NOT"]),
+        st.lists(WORD, min_size=1, max_size=3),
+        FIELD,
+        st.integers(0, 9),
+        st.integers(1, 2),
+        st.sampled_from([1.0, 2.0, 3.5]),
+    )
+
+
+def render(c: Clause) -> str:
+    sign = {"SHOULD": "", "MUST": "+", "MUST_NOT": "-"}[c.occur]
+    fld = f"{c.field}:" if c.field else ""
+    if c.kind == "phrase":
+        body = f'"{c.text}"' + (f"~{c.slop}" if c.slop else "")
+    elif c.kind == "prefix":
+        body = f"{c.text}*"
+    elif c.kind == "fuzzy":
+        body = f"{c.text}~{c.max_dist}"
+    else:
+        body = c.text + (f"^{c.boost:g}" if c.boost != 1.0 else "")
+    return sign + fld + body
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(clause_strategy(), min_size=1, max_size=6))
+def test_roundtrip_render_parse(clauses):
+    qs = " ".join(render(c) for c in clauses)
+    parsed = parse_query(qs).clauses
+    assert parsed == clauses
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.text(max_size=40))
+def test_never_crashes_only_valueerror(qs):
+    try:
+        out = parse_query(qs)
+    except ValueError:
+        return
+    assert isinstance(out.clauses, list)
+    for c in out.clauses:
+        assert c.occur in ("SHOULD", "MUST", "MUST_NOT")
+        assert c.kind in ("term", "phrase", "prefix", "fuzzy")
+        assert c.text or c.kind == "phrase"  # "" phrase = empty quotes
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(WORD, min_size=1, max_size=8))
+def test_plain_words_are_should_terms(words):
+    parsed = parse_query(" ".join(words)).clauses
+    assert [c.text for c in parsed] == words
+    assert all(c.occur == "SHOULD" and c.kind == "term" and
+               c.field is None for c in parsed)
