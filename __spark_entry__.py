@@ -116,6 +116,25 @@ def topk_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def topk_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard query (D21 r5) [public: Lucene WildcardQuery]: 's?a*'
+    ('?' one char, '*' any run) expands against the term dictionary
+    (bounded, error beyond) into an ordinary scored OR; the literal
+    prefix prunes the dict scan on the large-vocab path."""
+    ix = _documents_index(spark, sf_dir)
+    top = ix.query("s?a*", k=_FLAGSHIP_K)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def topk_term_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-range query (D21 r5) [public: Lucene TermRangeQuery; Solr
+    field:[a TO b]]: every dictionary term in ['scan', 'spark'] joins a
+    scored OR; both bounds push down onto the dict scan."""
+    ix = _documents_index(spark, sf_dir)
+    top = ix.query("[scan TO spark]", k=_FLAGSHIP_K)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def topk_bm25_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-analyzer index (Solr StopFilter analogue): 'the'/'data'/
     'fast' are dropped at index AND query time, changing dl/avgdl and
@@ -307,6 +326,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_bm25_and_absent": topk_bm25_and_absent,   # topk_bm25_and
         "topk_bm25_must": topk_bm25_must,               # topk_bm25_not
         "topk_fuzzy": topk_fuzzy,                       # topk_prefix
+        "topk_wildcard": topk_wildcard,                 # topk_prefix
+        "topk_term_range": topk_term_range,             # topk_prefix
         "ann_cosine_lsh_probe": relops.ann_cosine_lsh_probe,  # _lsh
         "setop_except": relops.setop_except,            # setop_union
         "setop_intersect": relops.setop_intersect,      # setop_union
@@ -320,7 +341,9 @@ _TOK = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
 
 def _bm25_sql(terms_sql: str, mode: str, k: int, stop: tuple = (),
               must_not: tuple = (), prefix: str | None = None,
-              must: tuple = (), fuzzy: tuple | None = None) -> str:
+              must: tuple = (), fuzzy: tuple | None = None,
+              like_pattern: str | None = None,
+              trange: tuple | None = None) -> str:
     """DuckDB BM25 over documents: same formula, exact dl, k1=1.2 b=0.75.
     ``stop``: analyzer stopword list (applied to the corpus tokenization,
     mirroring the engine's index-time StopFilter). ``must_not``: docs
@@ -332,7 +355,11 @@ def _bm25_sql(terms_sql: str, mode: str, k: int, stop: tuple = (),
     the remaining terms still score — Lucene BooleanQuery MUST + SHOULD.
     ``fuzzy``: (word, max_dist) — the query term set is the 50 closest
     corpus terms within Levenshtein distance, (distance, term)-ordered,
-    mirroring Index.expand_fuzzy's Lucene-style best-terms cap."""
+    mirroring Index.expand_fuzzy's Lucene-style best-terms cap.
+    ``like_pattern``: SQL LIKE pattern ('_'/'%') — the query term set is
+    every corpus term matching it (WildcardQuery rewrite; '?'->'_',
+    '*'->'%'). ``trange``: (lo, hi) inclusive — every corpus term in the
+    lexicographic range (TermRangeQuery rewrite)."""
     having = "" if mode == "OR" else \
         f"HAVING count(*) = (SELECT count(*) FROM qterms)"
     if must and mode == "OR":
@@ -345,6 +372,12 @@ def _bm25_sql(terms_sql: str, mode: str, k: int, stop: tuple = (),
         tok_expr = f"list_filter({_TOK}, x -> x NOT IN ({inlist}))"
     if prefix is not None:
         qterms = f"SELECT DISTINCT term FROM tok WHERE term LIKE '{prefix}%'"
+    elif like_pattern is not None:
+        qterms = ("SELECT DISTINCT term FROM tok WHERE term LIKE "
+                  f"'{like_pattern}'")
+    elif trange is not None:
+        qterms = ("SELECT DISTINCT term FROM tok WHERE term >= "
+                  f"'{trange[0]}' AND term <= '{trange[1]}'")
     elif fuzzy is not None:
         w, d = fuzzy
         qterms = (f"SELECT term FROM (SELECT DISTINCT term FROM tok) "
@@ -646,6 +679,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_bm25_must": _bm25_sql("'join', 'scan', 'spark'", "OR",
                                     _FLAGSHIP_K, must=("spark",)),
         "topk_fuzzy": _bm25_sql("", "OR", _FLAGSHIP_K, fuzzy=("spar", 1)),
+        "topk_wildcard": _bm25_sql("", "OR", _FLAGSHIP_K,
+                                   like_pattern="s_a%"),
+        "topk_term_range": _bm25_sql("", "OR", _FLAGSHIP_K,
+                                     trange=("scan", "spark")),
         "topk_prefix": _bm25_sql("", "OR", _FLAGSHIP_K, prefix="s"),
         "topk_bm25_stop": _bm25_sql("'join', 'spark'", "OR", _FLAGSHIP_K,
                                     stop=_STOP_LIST),

@@ -91,6 +91,14 @@ def main() -> None:
           lambda: ix.phrase("spark join", k=10).collect())
     timed("q_phrase_slop",
           lambda: ix.phrase("filter window", k=10, slop=2).collect())
+    # round-5 Boolean/expansion surface via the query-string router
+    # (D1/D19/D20): MUST_NOT exclusion, mixed MUST+SHOULD, prefix, fuzzy
+    timed("q_bm25_not",
+          lambda: ix.query("spark join -scan", k=10).collect())
+    timed("q_bm25_must",
+          lambda: ix.query("+spark join scan", k=10).collect())
+    timed("q_prefix", lambda: ix.query("spar*", k=10).collect())
+    timed("q_fuzzy", lambda: ix.query("spar~1", k=10).collect())
 
     # 3. relational suite
     for name in ["project_filter", "join_broadcast", "join_sortmerge",

@@ -13,6 +13,11 @@ the existing execution paths (term scorer, phrase scorer, fielded search):
   "sort merge"              quoted phrase (PhraseQuery)
   "sort merge"~2            phrase with slop
   spar*                     prefix query (PrefixQuery rewrite)
+  s?a*n / *join             wildcard query ('*' any run, '?' one char;
+                            WildcardQuery rewrite — needs >= 1 literal
+                            char)
+  [hash TO join]            inclusive term range; {a TO b} exclusive,
+                            '*' = open bound (TermRangeQuery rewrite)
   databse~ / databse~1      fuzzy query; bare '~' = edit distance 2
                             (Lucene FuzzyQuery default)
   source:src7               fielded term; source:"a b" fielded phrase
@@ -21,10 +26,9 @@ the existing execution paths (term scorer, phrase scorer, fielded search):
 
 Deliberately NOT supported (raise ValueError, never silently mis-parse):
 parenthesised sub-queries, OR/AND/NOT keyword operators (use +/- and the
-mode argument), range queries ([a TO b]), mid-token wildcards ('?', inner
-'*'), '+' on prefix/fuzzy clauses (a required DISJUNCTION of expansions
-is group-level semantics the conjunctive scorer doesn't model), and
-boosts on non-fielded clauses.
+mode argument), '+' on prefix/wildcard/range/fuzzy clauses (a required
+DISJUNCTION of expansions is group-level semantics the conjunctive
+scorer doesn't model), and boosts on non-fielded clauses.
 
 The parser is pure Python (no Spark) so it unit-tests in microseconds and
 the router's behavior stays fully determined by the dataclass it emits.
@@ -43,11 +47,16 @@ class Clause:
     in one place, like Lucene's QueryParser.getFieldQuery)."""
     text: str
     occur: str = "SHOULD"        # SHOULD | MUST | MUST_NOT
-    kind: str = "term"           # term | phrase | prefix | fuzzy
+    kind: str = "term"           # term | phrase | prefix | wildcard |
+    #                              range | fuzzy
     field: str | None = None     # None = default text field
     slop: int = 0                # phrase only
     max_dist: int = 2            # fuzzy only
     boost: float = 1.0           # fielded terms only
+    lo: str | None = None        # range only; None = open bound
+    hi: str | None = None        # range only; None = open bound
+    incl_lo: bool = True         # range only; [ vs {
+    incl_hi: bool = True         # range only; ] vs }
 
 
 @dataclass
@@ -61,11 +70,13 @@ class ParsedQuery:
         return [c for c in self.clauses if c.kind == kind]
 
 
-# a quoted span (with optional ~N and field prefix) or a bare token
+# a quoted span (with optional ~N and field prefix), a bracketed term
+# range, or a bare token
 _TOKEN = re.compile(
     r'\s*([+-]?)'                      # occur modifier
     r'(?:([A-Za-z_][A-Za-z0-9_]*):)?'  # optional field prefix
     r'(?:"([^"]*)"(?:~(\d+))?'         # quoted phrase [~slop]
+    r'|([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])'  # [lo TO hi] range
     r'|(\S+))'                         # or a bare token
 )
 
@@ -92,12 +103,27 @@ def parse_query(qs: str) -> ParsedQuery:
                 raise ValueError(f"cannot parse query at: {qs[pos:]!r}")
             break
         pos = m.end()
-        sign, fld, phrase, slop, bare = m.groups()
+        (sign, fld, phrase, slop, obr, rlo, rhi, cbr, bare) = m.groups()
         occur = {"": "SHOULD", "+": "MUST", "-": "MUST_NOT"}[sign]
         if phrase is not None:
             out.clauses.append(Clause(
                 text=phrase, occur=occur, kind="phrase", field=fld,
                 slop=int(slop) if slop else 0))
+            continue
+        if obr is not None:
+            if occur == "MUST":
+                raise ValueError(
+                    "'+' on a range clause is not supported (a required "
+                    "disjunction of expansions); drop the '+'")
+            lo = None if rlo == "*" else rlo
+            hi = None if rhi == "*" else rhi
+            if lo is None and hi is None:
+                raise ValueError("term range needs at least one bound: "
+                                 f"{obr}{rlo} TO {rhi}{cbr}")
+            out.clauses.append(Clause(
+                text=f"{obr}{rlo} TO {rhi}{cbr}", occur=occur,
+                kind="range", field=fld, lo=lo, hi=hi,
+                incl_lo=obr == "[", incl_hi=cbr == "]"))
             continue
         if bare in _UNSUPPORTED:
             raise ValueError(
@@ -111,17 +137,26 @@ def parse_query(qs: str) -> ParsedQuery:
                 raise ValueError(
                     "boosts are only supported on fielded terms "
                     f"(got {bare!r}^{boost:g})")
-        if "*" in bare:
-            if not bare.endswith("*") or "*" in bare[:-1] or len(bare) < 2:
-                raise ValueError(
-                    f"only trailing-* prefix queries are supported: {bare!r}")
+        if "*" in bare or "?" in bare:
             if occur == "MUST":
                 raise ValueError(
-                    "'+' on a prefix clause is not supported (a required "
-                    "disjunction of expansions); drop the '+' or use a "
-                    "full term")
-            out.clauses.append(Clause(text=bare[:-1], occur=occur,
-                                      kind="prefix", field=fld, boost=boost))
+                    "'+' on a prefix/wildcard clause is not supported (a "
+                    "required disjunction of expansions); drop the '+' or "
+                    "use a full term")
+            trailing_star_only = (bare.endswith("*") and "?" not in bare
+                                  and "*" not in bare[:-1] and len(bare) > 1)
+            if trailing_star_only:
+                out.clauses.append(Clause(text=bare[:-1], occur=occur,
+                                          kind="prefix", field=fld,
+                                          boost=boost))
+            else:
+                if not bare.strip("*?"):
+                    raise ValueError(
+                        "wildcard pattern needs at least one literal "
+                        f"character: {bare!r}")
+                out.clauses.append(Clause(text=bare, occur=occur,
+                                          kind="wildcard", field=fld,
+                                          boost=boost))
             continue
         fm = _FUZZY.match(bare)
         if fm and "~" in bare:

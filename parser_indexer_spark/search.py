@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import math
 import os
+import re
+import unicodedata
 import zlib
 from typing import Iterator, Optional
 
@@ -532,6 +534,85 @@ class Index:
                 .limit(max_expansions).collect())
         return [r["term"] for r in rows]
 
+    def expand_wildcard(self, pattern: str,
+                        max_expansions: int = 64) -> list[str]:
+        """Dictionary terms matching a glob ``pattern`` ('*' = any run,
+        '?' = one char) [public: Lucene WildcardQuery]. Like prefix
+        expansion the match set is exact-or-error: more than
+        ``max_expansions`` matches raises (a truncated wildcard would
+        change results with segment layout). The literal prefix before
+        the first wildcard is pushed down as a startsWith predicate so
+        the dict scan prunes on it; the regex itself runs JVM-side
+        (rlike) on the pruned rows — no driver-side full-vocab pass on
+        the large-vocab path."""
+        if not pattern or not pattern.strip("*?"):
+            raise ValueError("wildcard pattern needs at least one "
+                             f"literal character: {pattern!r}")
+        rx = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in pattern) + "$"
+        lit = re.match(r"[^*?]*", pattern).group(0)
+        if not self._dict_preloaded \
+                and self.stats["n_terms"] <= DICT_PRELOAD_LIMIT:
+            self.term_stats([lit or pattern])   # one-time preload trigger
+        if self._dict_preloaded:
+            crx = re.compile(rx)
+            out = sorted(t for t in self._dict_cache
+                         if crx.match(t)
+                         and self._dict_cache[t] > 0)[:max_expansions + 1]
+        else:
+            cand = self._dict_df
+            if lit:
+                cand = cand.where(F.col("term").startswith(lit))
+            out = sorted(r["term"] for r in cand
+                         .where(F.col("term").rlike(rx))
+                         .select("term").limit(max_expansions + 1).collect())
+        if len(out) > max_expansions:
+            raise ValueError(
+                f"wildcard {pattern!r} expands to more than "
+                f"{max_expansions} terms; narrow it or raise "
+                "max_expansions")
+        return out
+
+    def expand_range(self, lo: Optional[str], hi: Optional[str],
+                     incl_lo: bool = True, incl_hi: bool = True,
+                     max_expansions: int = 64) -> list[str]:
+        """Dictionary terms in the lexicographic range [public: Lucene
+        TermRangeQuery; Solr field:[a TO b]]. ``None`` = unbounded on
+        that side ('*' in query syntax); square bracket = inclusive,
+        curly = exclusive. Exact-or-error like prefix expansion. Both
+        bounds are pushable comparison predicates, so the dict scan
+        prunes row groups on the large-vocab path."""
+        if lo is None and hi is None:
+            raise ValueError("term range needs at least one bound")
+        if self._dict_preloaded:
+            def ok(t):
+                if lo is not None and (t < lo or (t == lo and not incl_lo)):
+                    return False
+                if hi is not None and (t > hi or (t == hi and not incl_hi)):
+                    return False
+                return True
+            out = sorted(t for t in self._dict_cache
+                         if ok(t)
+                         and self._dict_cache[t] > 0)[:max_expansions + 1]
+        else:
+            cand = self._dict_df
+            if lo is not None:
+                cand = cand.where(F.col("term") >= lo if incl_lo
+                                  else F.col("term") > lo)
+            if hi is not None:
+                cand = cand.where(F.col("term") <= hi if incl_hi
+                                  else F.col("term") < hi)
+            out = sorted(r["term"] for r in cand.select("term")
+                         .limit(max_expansions + 1).collect())
+        if len(out) > max_expansions:
+            b = lambda x: "*" if x is None else x  # noqa: E731
+            raise ValueError(
+                f"range [{b(lo)} TO {b(hi)}] expands to more than "
+                f"{max_expansions} terms; narrow it or raise "
+                "max_expansions")
+        return out
+
     def search(self, query: str, k: int = 10, mode: str = "OR",
                doc_filter: Optional[str] = None, prune: bool = True,
                score_partitions: Optional[int] = None,
@@ -748,6 +829,7 @@ class Index:
                                                              must_not=)
           "sort merge"~2 -scan    phrase (slop) + exclusion -> phrase()
           spar* databse~1         prefix / fuzzy expansion -> scored OR
+          s?a*n [hash TO join]    wildcard / term-range expansion -> OR
           source:src7^2 +lang:en  fielded terms w/ boosts  -> search_fields()
 
         A phrase clause must be the only SCORED clause (MUST_NOT term
@@ -787,8 +869,9 @@ class Index:
             bad = [c for c in pos if c.kind not in ("term",)]
             if bad:
                 raise ValueError(
-                    "prefix/fuzzy clauses are not supported in fielded "
-                    "queries; use plain terms or an unfielded query")
+                    "prefix/wildcard/range/fuzzy clauses are not supported "
+                    "in fielded queries; use plain terms or an unfielded "
+                    "query")
             if any(n.kind != "term" for n in neg):
                 raise ValueError("fielded MUST_NOT supports plain term "
                                  "clauses only")
@@ -812,31 +895,44 @@ class Index:
                 boosts=boosts, mode="OR",
                 must=group([c for c in pos if c.occur == "MUST"]),
                 must_not=group(neg), **common)
+        def norm_bound(b):
+            if b is None:
+                return None
+            toks = tokenize_py(b, self.cfg.stopwords)
+            return toks[-1] if toks else b
+
+        def expand(c):
+            """Expansion clauses -> analyzed dictionary terms (the scored
+            OR / exclusion set; Lucene's rewrite step)."""
+            if c.kind == "prefix":
+                toks = tokenize_py(c.text, self.cfg.stopwords)
+                return self.expand_prefix(toks[-1], max_expansions) \
+                    if toks else []
+            if c.kind == "wildcard":
+                # the analyzer's normalization, with */? kept as wildcards
+                pat = unicodedata.normalize("NFKD", c.text).lower()
+                return self.expand_wildcard(pat, max_expansions)
+            if c.kind == "range":
+                return self.expand_range(
+                    norm_bound(c.lo), norm_bound(c.hi),
+                    c.incl_lo, c.incl_hi, max_expansions)
+            toks = tokenize_py(c.text, self.cfg.stopwords)  # fuzzy
+            return self.expand_fuzzy(toks[-1], c.max_dist) if toks else []
+
         should: list[str] = []
         for c in pos:
             if c.occur != "SHOULD":
                 continue
             if c.kind == "term":
                 should.append(c.text)
-            elif c.kind == "prefix":
-                should.append(c.text + "*")
-            else:                     # fuzzy: expansions join the OR as
-                toks = tokenize_py(c.text, self.cfg.stopwords)
-                word = toks[-1] if toks else ""
-                if word:              # scored terms (FuzzyQuery rewrite)
-                    should.extend(self.expand_fuzzy(word, c.max_dist))
+            else:
+                should.extend(expand(c))
         excl: list[str] = []
         for n in neg:
             if n.kind == "term":
                 excl.append(n.text)
-            elif n.kind == "prefix":
-                excl.extend(self.expand_prefix(
-                    (tokenize_py(n.text, self.cfg.stopwords) or [""])[-1],
-                    max_expansions))
             else:
-                toks = tokenize_py(n.text, self.cfg.stopwords)
-                if toks:
-                    excl.extend(self.expand_fuzzy(toks[-1], n.max_dist))
+                excl.extend(expand(n))
         must = [c.text for c in pos if c.occur == "MUST"]
         if not should and not must:
             return empty

@@ -260,7 +260,7 @@ def test_query_router_pure_negative_empty(engine):
 def test_query_router_rejections(engine):
     with pytest.raises(ValueError, match="phrase clause"):
         engine.query('spark "sort merge"', k=5).collect()
-    with pytest.raises(ValueError, match="prefix/fuzzy"):
+    with pytest.raises(ValueError, match="prefix/wildcard/range/fuzzy"):
         engine.query("role:user spar*", k=5).collect()
     with pytest.raises(ValueError, match="parenthesised"):
         engine.query("(a b)", k=5)

@@ -22,30 +22,44 @@ FIELD = st.one_of(st.none(), st.sampled_from(["text", "source", "lang"]))
 
 
 def clause_strategy() -> st.SearchStrategy[Clause]:
-    def build(kind, occur, words, fld, slop, dist, boost):
+    def build(kind, occur, words, fld, slop, dist, boost, brackets):
+        # expansion clauses never take MUST (the parser rejects it)
+        soft = "SHOULD" if occur == "MUST" else occur
         if kind == "phrase":
             return Clause(text=" ".join(words), occur=occur, kind="phrase",
                           field=fld, slop=slop)
         if kind == "prefix":
-            # the parser requires >= 2 chars incl. the '*', SHOULD/MUST_NOT
-            return Clause(text=words[0], occur="SHOULD" if occur == "MUST"
-                          else occur, kind="prefix", field=fld)
+            return Clause(text=words[0], occur=soft, kind="prefix",
+                          field=fld)
+        if kind == "wildcard":
+            return Clause(text=words[0] + "*" + (words[1] if
+                          len(words) > 1 else "?"), occur=soft,
+                          kind="wildcard", field=fld)
+        if kind == "range":
+            lo, hi = words[0], (words[1] if len(words) > 1 else None)
+            text = ("[" if brackets[0] else "{") + lo + " TO " + \
+                (hi or "*") + ("]" if brackets[1] else "}")
+            return Clause(text=text, occur=soft, kind="range", field=fld,
+                          lo=lo, hi=hi, incl_lo=brackets[0],
+                          incl_hi=brackets[1])
         if kind == "fuzzy":
-            return Clause(text=words[0], occur="SHOULD" if occur == "MUST"
-                          else occur, kind="fuzzy", field=fld, max_dist=dist)
+            return Clause(text=words[0], occur=soft, kind="fuzzy",
+                          field=fld, max_dist=dist)
         boost = boost if fld is not None else 1.0
         return Clause(text=words[0], occur=occur, kind="term", field=fld,
                       boost=boost)
 
     return st.builds(
         build,
-        st.sampled_from(["term", "phrase", "prefix", "fuzzy"]),
+        st.sampled_from(["term", "phrase", "prefix", "wildcard", "range",
+                         "fuzzy"]),
         st.sampled_from(["SHOULD", "MUST", "MUST_NOT"]),
         st.lists(WORD, min_size=1, max_size=3),
         FIELD,
         st.integers(0, 9),
         st.integers(1, 2),
         st.sampled_from([1.0, 2.0, 3.5]),
+        st.tuples(st.booleans(), st.booleans()),
     )
 
 
@@ -56,6 +70,11 @@ def render(c: Clause) -> str:
         body = f'"{c.text}"' + (f"~{c.slop}" if c.slop else "")
     elif c.kind == "prefix":
         body = f"{c.text}*"
+    elif c.kind == "wildcard":
+        body = c.text
+    elif c.kind == "range":
+        body = ("[" if c.incl_lo else "{") + (c.lo or "*") + " TO " + \
+            (c.hi or "*") + ("]" if c.incl_hi else "}")
     elif c.kind == "fuzzy":
         body = f"{c.text}~{c.max_dist}"
     else:
@@ -81,7 +100,8 @@ def test_never_crashes_only_valueerror(qs):
     assert isinstance(out.clauses, list)
     for c in out.clauses:
         assert c.occur in ("SHOULD", "MUST", "MUST_NOT")
-        assert c.kind in ("term", "phrase", "prefix", "fuzzy")
+        assert c.kind in ("term", "phrase", "prefix", "wildcard",
+                          "range", "fuzzy")
         assert c.text or c.kind == "phrase"  # "" phrase = empty quotes
 
 
