@@ -186,23 +186,36 @@ def main() -> None:
         print(f"generated {input_path}", flush=True)
 
     t_start = time.time()
-    print("campaign-start baseline: 5 controls...", flush=True)
-    base_samples = [mini_control(cores4) for _ in range(5)]
-    baseline = max(max(base_samples), args.anchor_floor)
-    print(f"anchor {baseline:.2f} it/s = max(samples {base_samples}, "
-          f"floor {args.anchor_floor})", flush=True)
-
-    state = {"baseline_it_s": round(baseline, 2), "tol": args.tol,
-             "n_turns": args.turns, "cores": cores4,
-             "anchor_rule": "max(start samples, attempt-1 max control); "
-                            "one-sided: ctl >= (1-tol)*anchor",
-             "baseline_samples": [round(b, 2) for b in base_samples],
-             "pairs": []}
+    if os.path.exists(args.state):
+        # resume: keep prior pairs (an interrupted campaign's evidence) and
+        # the prior anchor rule; re-anchor only upward if a faster control
+        # has since been observed
+        state = json.load(open(args.state))
+        base_samples = [mini_control(cores4) for _ in range(2)]
+        baseline = max(state["baseline_it_s"], max(base_samples),
+                       args.anchor_floor)
+        state["baseline_it_s"] = round(baseline, 2)
+        state.setdefault("baseline_samples", []).extend(
+            round(b, 2) for b in base_samples)
+        print(f"resumed {args.state}: {len(state['pairs'])} prior pairs, "
+              f"anchor {baseline:.2f}", flush=True)
+    else:
+        print("campaign-start baseline: 5 controls...", flush=True)
+        base_samples = [mini_control(cores4) for _ in range(5)]
+        baseline = max(max(base_samples), args.anchor_floor)
+        print(f"anchor {baseline:.2f} it/s = max(samples {base_samples}, "
+              f"floor {args.anchor_floor})", flush=True)
+        state = {"baseline_it_s": round(baseline, 2), "tol": args.tol,
+                 "n_turns": args.turns, "cores": cores4,
+                 "anchor_rule": "max(start samples, attempt-1 max control); "
+                                "one-sided: ctl >= (1-tol)*anchor",
+                 "baseline_samples": [round(b, 2) for b in base_samples],
+                 "pairs": []}
 
     def ok(v: float) -> bool:
         return v >= (1.0 - args.tol) * baseline
 
-    attempt = 0
+    attempt = len(state["pairs"])
     while (sum(p["certified"] for p in state["pairs"]) < args.target
            and attempt < args.max_attempts
            and (time.time() - t_start) / 60 < args.budget_min):
