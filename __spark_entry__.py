@@ -126,12 +126,102 @@ def topk_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def topk_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp query (D22 r5) [public: Lucene RegexpQuery; Solr /regex/]:
+    '/s[pc]a[rn].*/' matches whole dictionary terms (anchored), expands
+    bounded-or-error into a scored OR; the guaranteed literal prefix
+    ('s') prunes the dict scan on the large-vocab path."""
+    ix = _documents_index(spark, sf_dir)
+    top = ix.query("/s[pc]a[rn].*/", k=_FLAGSHIP_K)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def topk_term_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-range query (D21 r5) [public: Lucene TermRangeQuery; Solr
     field:[a TO b]]: every dictionary term in ['scan', 'spark'] joins a
     scored OR; both bounds push down onto the dict scan."""
     ix = _documents_index(spark, sf_dir)
     top = ix.query("[scan TO spark]", k=_FLAGSHIP_K)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def facet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field faceting over a query's FULL match set (r5) [public: Solr
+    facet.field]: per-value doc counts of lang and source across every
+    doc matching 'spark join' (OR) — scorer runs unpruned/unsorted, match
+    set semi-joins the doc store, stack+groupBy counts; no top-k heap."""
+    ix = _documents_index(spark, sf_dir)
+    return ix.search_facets(_FLAGSHIP_QUERY, ["lang", "source"])
+
+
+def facet_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range faceting over a query's full match set (r5) [public: Solr
+    facet.range]: docs matching 'spark join' (OR) counted into
+    250-char-wide n_chars buckets on [0, 4000); out-of-range and null
+    values dropped (facet.range.other=none)."""
+    ix = _documents_index(spark, sf_dir)
+    return ix.search_facet_range(_FLAGSHIP_QUERY, "n_chars", 0, 4000, 250)
+
+
+def collapse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing on the query path (r5) [public: Solr
+    CollapsingQParserPlugin]: top-10 of the single best 'spark join'
+    (OR) hit per source value — collapse needs the FULL match set, so
+    the sort=False scorer feeds a per-group window rank, then the
+    ordinary global top-k."""
+    ix = _documents_index(spark, sf_dir)
+    top = ix.search_collapse(_FLAGSHIP_QUERY, "source", k=_FLAGSHIP_K)
+    return top.select("doc_id", F.round("score", 4).alias("score"),
+                      "source")
+
+
+def facet_pivot_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot faceting over a query's full match set (r5) [public: Solr
+    facet.pivot=lang,source]: doc counts per (lang, source) pair across
+    every doc matching 'spark join' (OR), null pairs dropped."""
+    ix = _documents_index(spark, sf_dir)
+    return ix.search_facet_pivot(_FLAGSHIP_QUERY, "lang", "source")
+
+
+def sort_by_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-sorted search results (r5) [public: Solr sort=field asc]:
+    the 10 shortest docs (n_chars asc, doc_id tiebreak) among ALL
+    matches of 'spark join' (OR) — relevance bypassed, so the unpruned
+    full-match scorer feeds one TakeOrdered on the field."""
+    ix = _documents_index(spark, sf_dir)
+    top = ix.search_sort_by(_FLAGSHIP_QUERY, "n_chars", k=_FLAGSHIP_K,
+                            ascending=True)
+    return top.select("doc_id", F.round("score", 4).alias("score"),
+                      "n_chars")
+
+
+def facet_stats_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats facet over a query's full match set (r5) [public: Solr
+    StatsComponent stats.field]: count/sum/mean/min/max of n_chars
+    across every doc matching 'spark join' (OR), nulls excluded."""
+    ix = _documents_index(spark, sf_dir)
+    return ix.search_facet_stats(_FLAGSHIP_QUERY, "n_chars")
+
+
+def export_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full match-set export (r5) [public: Solr /export handler]: EVERY
+    doc matching 'spark join' (OR) with its exact BM25 score plus the
+    lang doc-store column — unordered, untruncated (the reranker-feed
+    path where top-k would be wrong)."""
+    ix = _documents_index(spark, sf_dir)
+    out = ix.export_matches(_FLAGSHIP_QUERY, columns=("lang",))
+    return out.select("doc_id", F.round("score", 4).alias("score"), "lang")
+
+
+def boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-score boosting (D25 r5) [public: Solr boost= param;
+    Lucene FunctionScoreQuery]: top-10 of 'spark join' (OR) by
+    bm25 * (0.5 + n_chars/4000) — a length prior evaluated per matching
+    doc. An unbounded boost can promote any match, so this rides the
+    unpruned full-match scorer + one TakeOrdered."""
+    ix = _documents_index(spark, sf_dir)
+    top = ix.search_boosted(_FLAGSHIP_QUERY, "0.5 + n_chars / 4000.0",
+                            k=_FLAGSHIP_K)
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -271,9 +361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_phrase": topk_phrase,
         "topk_phrase_slop": topk_phrase_slop,
         "topk_bm25_fielded": topk_bm25_fielded,
+        "facet_search": facet_search,
+        "export_search": export_search,
         "term_dict_stats": term_dict_stats,
-        # training-data pipeline ops (incl. the two r3 report casualties)
-        "simhash8": relops.simhash8,
+        # training-data pipeline ops (simhash64, the r3 report casualty,
+        # ordered early in its block as extra insurance; its 8-bit
+        # variant moved to extra_queries when r5 queries hit the cap)
         "simhash64": relops.simhash64,
         "lang_trigram": relops.lang_trigram,
         "media_features": media_features,
@@ -306,7 +399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_frame": relops.window_lag_frame,
         "topk_orders": relops.topk_orders,
         "topk_orders_page2": relops.topk_orders_page2,
-        "facet_percentile": relops.facet_percentile,
         "setop_union": relops.setop_union,
         "term_suggest": term_suggest,
         "spellcheck": spellcheck,
@@ -328,6 +420,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_fuzzy": topk_fuzzy,                       # topk_prefix
         "topk_wildcard": topk_wildcard,                 # topk_prefix
         "topk_term_range": topk_term_range,             # topk_prefix
+        "topk_regexp": topk_regexp,                     # topk_prefix
+        "facet_range_search": facet_range_search,       # facet_search
+        "facet_stats_search": facet_stats_search,       # facet_search
+        "facet_pivot_search": facet_pivot_search,       # facet_search
+        "collapse_search": collapse_search,             # topk_bm25
+        "sort_by_search": sort_by_search,               # topk_orders
+        "boosted_search": boosted_search,               # topk_bm25
+        "simhash8": relops.simhash8,                    # simhash64
+        "facet_percentile": relops.facet_percentile,    # facet_count
         "ann_cosine_lsh_probe": relops.ann_cosine_lsh_probe,  # _lsh
         "setop_except": relops.setop_except,            # setop_union
         "setop_intersect": relops.setop_intersect,      # setop_union
@@ -343,7 +444,12 @@ def _bm25_sql(terms_sql: str, mode: str, k: int, stop: tuple = (),
               must_not: tuple = (), prefix: str | None = None,
               must: tuple = (), fuzzy: tuple | None = None,
               like_pattern: str | None = None,
-              trange: tuple | None = None) -> str:
+              trange: tuple | None = None,
+              regex: str | None = None,
+              export_col: str | None = None,
+              collapse_col: str | None = None,
+              sort_by: tuple | None = None,
+              boost_expr: str | None = None) -> str:
     """DuckDB BM25 over documents: same formula, exact dl, k1=1.2 b=0.75.
     ``stop``: analyzer stopword list (applied to the corpus tokenization,
     mirroring the engine's index-time StopFilter). ``must_not``: docs
@@ -359,7 +465,20 @@ def _bm25_sql(terms_sql: str, mode: str, k: int, stop: tuple = (),
     ``like_pattern``: SQL LIKE pattern ('_'/'%') — the query term set is
     every corpus term matching it (WildcardQuery rewrite; '?'->'_',
     '*'->'%'). ``trange``: (lo, hi) inclusive — every corpus term in the
-    lexicographic range (TermRangeQuery rewrite)."""
+    lexicographic range (TermRangeQuery rewrite). ``regex``: anchored
+    whole-term regex — every corpus term fully matching it (RegexpQuery
+    rewrite; regexp_full_match is DuckDB's anchored match).
+    ``export_col``: mirror of Index.export_matches — return the FULL
+    match set (no ORDER/LIMIT) with this doc-store column joined in;
+    incompatible with must_not here (the entry doesn't combine them).
+    ``collapse_col``: mirror of Index.search_collapse — best hit per
+    value of this column (score desc, doc_id asc), then top-k.
+    ``sort_by``: (column, 'ASC'|'DESC') — mirror of Index.search_sort_by:
+    top-k of the full match set by a doc-store field, nulls last.
+    ``boost_expr``: SQL over d.<doc-store cols> — mirror of
+    Index.search_boosted (multiplicative): top-k by score * boost, null
+    boost = neutral 1.0, doc_id tiebreak."""
+    assert not (export_col and must_not), "entry never combines these"
     having = "" if mode == "OR" else \
         f"HAVING count(*) = (SELECT count(*) FROM qterms)"
     if must and mode == "OR":
@@ -378,6 +497,9 @@ def _bm25_sql(terms_sql: str, mode: str, k: int, stop: tuple = (),
     elif trange is not None:
         qterms = ("SELECT DISTINCT term FROM tok WHERE term >= "
                   f"'{trange[0]}' AND term <= '{trange[1]}'")
+    elif regex is not None:
+        qterms = ("SELECT DISTINCT term FROM tok WHERE "
+                  f"regexp_full_match(term, '{regex}')")
     elif fuzzy is not None:
         w, d = fuzzy
         qterms = (f"SELECT term FROM (SELECT DISTINCT term FROM tok) "
@@ -414,8 +536,26 @@ scored AS (
   GROUP BY t.doc_id
   {having}
 )
-SELECT doc_id, round(score, 4) AS score
-FROM scored {not_where} ORDER BY scored.score DESC, doc_id LIMIT {k}
+{f'''SELECT doc_id, round(bscore, 4) AS score
+FROM (SELECT s.doc_id, s.score * coalesce(({boost_expr}), 1.0) AS bscore
+      FROM scored s JOIN documents d USING(doc_id))
+ORDER BY bscore DESC, doc_id LIMIT {k}''' if boost_expr else
+ f'''SELECT s.doc_id AS doc_id, round(s.score, 4) AS score,
+       d.{export_col} AS {export_col}
+FROM scored s JOIN documents d USING(doc_id)''' if export_col else
+ f'''SELECT s.doc_id AS doc_id, round(s.score, 4) AS score,
+       d.{sort_by[0] if sort_by else ""} AS {sort_by[0] if sort_by else ""}
+FROM scored s JOIN documents d USING(doc_id)
+ORDER BY d.{sort_by[0] if sort_by else ""} {sort_by[1] if sort_by else ""}
+         NULLS LAST, s.doc_id LIMIT {k}''' if sort_by else
+ f'''SELECT doc_id, round(raw_score, 4) AS score, {collapse_col}
+FROM (SELECT s.doc_id, s.score AS raw_score, d.{collapse_col},
+             row_number() OVER (PARTITION BY d.{collapse_col}
+                 ORDER BY s.score DESC, s.doc_id) AS rn
+      FROM scored s JOIN documents d USING(doc_id))
+WHERE rn = 1 ORDER BY raw_score DESC, doc_id LIMIT {k}''' if collapse_col else
+ f'''SELECT doc_id, round(score, 4) AS score
+FROM scored {not_where} ORDER BY scored.score DESC, doc_id LIMIT {k}'''}
 """
 
 
@@ -683,12 +823,74 @@ def oracle_sql() -> dict[str, str]:
                                    like_pattern="s_a%"),
         "topk_term_range": _bm25_sql("", "OR", _FLAGSHIP_K,
                                      trange=("scan", "spark")),
+        "topk_regexp": _bm25_sql("", "OR", _FLAGSHIP_K,
+                                 regex="s[pc]a[rn].*"),
+        "export_search": _bm25_sql("'join', 'spark'", "OR", 0,
+                                   export_col="lang"),
+        "collapse_search": _bm25_sql("'join', 'spark'", "OR", _FLAGSHIP_K,
+                                     collapse_col="source"),
+        "sort_by_search": _bm25_sql("'join', 'spark'", "OR", _FLAGSHIP_K,
+                                    sort_by=("n_chars", "ASC")),
+        "boosted_search": _bm25_sql(
+            "'join', 'spark'", "OR", _FLAGSHIP_K,
+            boost_expr="0.5 + d.n_chars / 4000.0"),
+        "facet_pivot_search": f"""
+            WITH m AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+              WHERE term IN ('join', 'spark')
+            )
+            SELECT CAST(lang AS VARCHAR) AS value_a,
+                   CAST(source AS VARCHAR) AS value_b, count(*) AS n
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM m)
+              AND lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY lang, source""",
+        "facet_stats_search": f"""
+            WITH m AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+              WHERE term IN ('join', 'spark')
+            )
+            SELECT count(n_chars) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_v,
+                   avg(n_chars) AS avg_v,
+                   min(n_chars) AS min_v,
+                   max(n_chars) AS max_v
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM m)""",
+        "facet_range_search": f"""
+            WITH m AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+              WHERE term IN ('join', 'spark')
+            )
+            SELECT CAST(0 + floor((n_chars - 0) / 250) * 250 AS BIGINT)
+                     AS bucket_lo,
+                   count(*) AS n
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM m)
+              AND n_chars IS NOT NULL AND n_chars >= 0 AND n_chars < 4000
+            GROUP BY 1""",
         "topk_prefix": _bm25_sql("", "OR", _FLAGSHIP_K, prefix="s"),
         "topk_bm25_stop": _bm25_sql("'join', 'spark'", "OR", _FLAGSHIP_K,
                                     stop=_STOP_LIST),
         "topk_phrase": _phrase_sql("spark", "join", 0, _FLAGSHIP_K),
         "topk_phrase_slop": _phrase_sql("filter", "window", 2, _FLAGSHIP_K),
         "topk_bm25_fielded": _fielded_sql(_FLAGSHIP_K),
+        "facet_search": f"""
+            WITH m AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+              WHERE term IN ('join', 'spark')
+            )
+            SELECT 'lang' AS field, CAST(lang AS VARCHAR) AS value,
+                   count(*) AS n
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM m)
+              AND lang IS NOT NULL
+            GROUP BY lang
+            UNION ALL
+            SELECT 'source', CAST(source AS VARCHAR), count(*)
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM m)
+              AND source IS NOT NULL
+            GROUP BY source""",
         "term_dict_stats": f"""
             SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM (
               SELECT doc_id, term, count(*) AS tf

@@ -99,6 +99,23 @@ def main() -> None:
           lambda: ix.query("+spark join scan", k=10).collect())
     timed("q_prefix", lambda: ix.query("spar*", k=10).collect())
     timed("q_fuzzy", lambda: ix.query("spar~1", k=10).collect())
+    timed("q_regexp", lambda: ix.query("/s[pc]a[rn].*/", k=10).collect())
+    # full-match-set faceting + export (Solr facet.field / facet.range /
+    # /export analogues, r5); export is counted, not collected — the
+    # match set belongs on the executors, not the bench driver
+    timed("q_facets",
+          lambda: ix.search_facets("spark join", ["lang", "source"]).collect())
+    timed("q_facet_range",
+          lambda: ix.search_facet_range("spark join", "n_chars",
+                                        0, 4000, 250).collect())
+    timed("q_export",
+          lambda: ix.export_matches("spark join", columns=("lang",)).count())
+    timed("q_collapse",
+          lambda: ix.search_collapse("spark join", "source", k=10).collect())
+    timed("q_facet_stats",
+          lambda: ix.search_facet_stats("spark join", "n_chars").collect())
+    timed("q_sort_by",
+          lambda: ix.search_sort_by("spark join", "n_chars", k=10).collect())
 
     # 3. relational suite
     for name in ["project_filter", "join_broadcast", "join_sortmerge",

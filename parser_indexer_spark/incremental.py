@@ -109,6 +109,88 @@ def append_segment(spark: SparkSession, root: str, batch: DataFrame,
                           t0=t0, deletes=deletes)
 
 
+def upsert_segment(spark: SparkSession, root: str, batch: DataFrame,
+                   cfg: EngineConfig,
+                   key_cols: tuple = ("conv_id", "turn_idx"),
+                   input_desc: str = "",
+                   batch_id: Optional[int] = None) -> dict:
+    """Overwrite-by-uniqueKey update [public: Solr's default add semantics
+    (overwrite=true on the uniqueKey); Lucene IndexWriter.updateDocument]:
+    batch rows whose ``key_cols`` already exist in the doc store REPLACE
+    the old versions — the old doc_ids are tombstoned (deletes.py), the
+    whole batch is appended as a fresh segment — while unseen keys are
+    plain adds. The next merge/compaction purges the replaced rows
+    physically, after which scores equal a from-scratch build on the
+    logically-updated corpus (same purge contract as delete_docs).
+
+    Replay safety: the ``batch_id`` guard runs BEFORE the tombstone step —
+    replaying a fully-committed batch must not tombstone the batch's OWN
+    rows (their keys now match the doc store). A crash between the
+    tombstone commit and the segment append replays idempotently: the
+    matching keys re-match only already-tombstoned ids (union = no-op)
+    and the append proceeds.
+
+    The batch must be key-unique: Solr's silent last-wins would be
+    nondeterministic under shuffle, so duplicate keys raise instead."""
+    p = IndexPaths(root)
+    if not CATALOG.meta_exists(p.docs_marker):
+        return append_segment(spark, root, batch, cfg,
+                              input_desc=input_desc or "bootstrap batch",
+                              batch_id=batch_id)
+    meta = CATALOG.read_meta(p.docs_marker)
+    if batch_id is not None and meta.get("last_batch_id") is not None \
+            and int(batch_id) <= int(meta["last_batch_id"]):
+        return (CATALOG.read_meta(p.manifest)
+                if CATALOG.meta_exists(p.manifest) else {})
+    kc = list(key_cols)
+    agg = batch.agg(F.count("*"), F.count_distinct(*kc)).first()
+    if int(agg[0]) != int(agg[1]):
+        raise ValueError(
+            f"upsert batch has duplicate {tuple(kc)} keys "
+            f"({int(agg[0])} rows, {int(agg[1])} distinct); deduplicate "
+            "the batch first — silent last-wins would be nondeterministic")
+    from parser_indexer_spark.build import read_docs
+    from parser_indexer_spark.search import FILTER_BROADCAST_LIMIT, Index
+    matched = (read_docs(spark, root)
+               .join(F.broadcast(batch.select(*kc).distinct()), on=kc,
+                     how="left_semi")
+               .select("doc_id").limit(FILTER_BROADCAST_LIMIT + 1)
+               .toPandas()["doc_id"])
+    if len(matched) > FILTER_BROADCAST_LIMIT:
+        raise ValueError(
+            "upsert replaces more docs than the tombstone bound "
+            f"({FILTER_BROADCAST_LIMIT}); upsert in narrower slices with "
+            "compactions between")
+    if len(matched):
+        Index(spark, root).delete_docs(matched.tolist())
+    return append_segment(spark, root, batch, cfg,
+                          input_desc=input_desc or "upsert batch",
+                          batch_id=batch_id)
+
+
+def upsert_index_query(stream_df: DataFrame, root: str, cfg: EngineConfig,
+                       checkpoint: str,
+                       key_cols: tuple = ("conv_id", "turn_idx"),
+                       trigger_available_now: bool = True):
+    """readStream -> foreachBatch(upsert_segment): streaming updates with
+    Solr overwrite semantics — a re-emitted (conv_id, turn_idx) replaces
+    its earlier version instead of duplicating it. Same replay guard as
+    incremental_index_query, applied before the tombstone step."""
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        upsert_segment(batch.sparkSession, root, batch, cfg,
+                       key_cols=key_cols,
+                       input_desc=f"stream upsert batch {batch_id}",
+                       batch_id=batch_id)
+
+    w = (stream_df.writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def incremental_index_query(stream_df: DataFrame, root: str,
                             cfg: EngineConfig, checkpoint: str,
                             trigger_available_now: bool = True):

@@ -20,6 +20,9 @@ the existing execution paths (term scorer, phrase scorer, fielded search):
                             '*' = open bound (TermRangeQuery rewrite)
   databse~ / databse~1      fuzzy query; bare '~' = edit distance 2
                             (Lucene FuzzyQuery default)
+  /s[pc]a[rn].*/            regexp query, anchored whole-term match
+                            (RegexpQuery rewrite; portable regex core
+                            only — see Index.expand_regexp)
   source:src7               fielded term; source:"a b" fielded phrase
   lang:en^2                 per-clause boost (fielded terms only — it maps
                             onto search_fields' per-field boost)
@@ -77,6 +80,7 @@ _TOKEN = re.compile(
     r'(?:([A-Za-z_][A-Za-z0-9_]*):)?'  # optional field prefix
     r'(?:"([^"]*)"(?:~(\d+))?'         # quoted phrase [~slop]
     r'|([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])'  # [lo TO hi] range
+    r'|/((?:[^/\\]|\\.)*)/'            # /regexp/ (\/ escapes a slash)
     r'|(\S+))'                         # or a bare token
 )
 
@@ -91,7 +95,10 @@ def parse_query(qs: str) -> ParsedQuery:
     does not execute (see module docstring for the exact surface)."""
     if not qs or not qs.strip():
         return ParsedQuery()
-    if "(" in qs or ")" in qs:
+    # parens are legal INSIDE a /regexp/ clause (grouping); only bare ones
+    # mean an unsupported sub-query
+    outside = re.sub(r'/(?:[^/\\]|\\.)*/', '', qs)
+    if "(" in outside or ")" in outside:
         raise ValueError("parenthesised sub-queries are not supported; "
                          "use +term / -term modifiers")
     out = ParsedQuery()
@@ -103,7 +110,8 @@ def parse_query(qs: str) -> ParsedQuery:
                 raise ValueError(f"cannot parse query at: {qs[pos:]!r}")
             break
         pos = m.end()
-        (sign, fld, phrase, slop, obr, rlo, rhi, cbr, bare) = m.groups()
+        (sign, fld, phrase, slop, obr, rlo, rhi, cbr, rex,
+         bare) = m.groups()
         occur = {"": "SHOULD", "+": "MUST", "-": "MUST_NOT"}[sign]
         if phrase is not None:
             out.clauses.append(Clause(
@@ -124,6 +132,17 @@ def parse_query(qs: str) -> ParsedQuery:
                 text=f"{obr}{rlo} TO {rhi}{cbr}", occur=occur,
                 kind="range", field=fld, lo=lo, hi=hi,
                 incl_lo=obr == "[", incl_hi=cbr == "]"))
+            continue
+        if rex is not None:
+            if occur == "MUST":
+                raise ValueError(
+                    "'+' on a regexp clause is not supported (a required "
+                    "disjunction of expansions); drop the '+'")
+            if not rex.strip():
+                raise ValueError("empty regexp clause: '//'")
+            out.clauses.append(Clause(
+                text=rex.replace(r"\/", "/"), occur=occur, kind="regex",
+                field=fld))
             continue
         if bare in _UNSUPPORTED:
             raise ValueError(

@@ -613,6 +613,53 @@ class Index:
                 "max_expansions")
         return out
 
+    def expand_regexp(self, pattern: str,
+                      max_expansions: int = 64) -> list[str]:
+        """Dictionary terms whose ENTIRE text matches ``pattern`` [public:
+        Lucene RegexpQuery; Solr field:/regex/]. Anchored on both ends
+        (RegexpQuery semantics) and exact-or-error like wildcard
+        expansion. Callers should stick to the portable regex core —
+        literals, '.', character classes, '*', '+', '?', '|', '()'
+        grouping — because the driver-cache path matches with Python
+        ``re``, the large-vocab path with JVM ``rlike``, and the test
+        oracle with DuckDB's RE2; the engine validates syntax driver-side
+        but does not translate between dialects. The literal prefix (when
+        one is guaranteed — no alternation, prefix not consumed by a
+        quantifier) pushes down as a startsWith predicate on the dict
+        scan, mirroring expand_wildcard."""
+        if not pattern:
+            raise ValueError("empty regexp")
+        rx = "^(?:" + pattern + ")$"
+        try:
+            crx = re.compile(rx)
+        except re.error as e:
+            raise ValueError(f"bad regexp {pattern!r}: {e}") from e
+        lit = re.match(r"[^.?*+\[\]{}()|\\^$]*", pattern).group(0)
+        if len(lit) < len(pattern) and pattern[len(lit)] in "*?{":
+            lit = lit[:-1]      # quantifier binds the last literal char
+        if "|" in pattern:
+            lit = ""            # top-level alternation voids any prefix
+        if not self._dict_preloaded \
+                and self.stats["n_terms"] <= DICT_PRELOAD_LIMIT:
+            self.term_stats([lit or pattern])   # one-time preload trigger
+        if self._dict_preloaded:
+            out = sorted(t for t in self._dict_cache
+                         if crx.match(t)
+                         and self._dict_cache[t] > 0)[:max_expansions + 1]
+        else:
+            cand = self._dict_df
+            if lit:
+                cand = cand.where(F.col("term").startswith(lit))
+            out = sorted(r["term"] for r in cand
+                         .where(F.col("term").rlike(rx))
+                         .select("term").limit(max_expansions + 1).collect())
+        if len(out) > max_expansions:
+            raise ValueError(
+                f"regexp /{pattern}/ expands to more than "
+                f"{max_expansions} terms; narrow it or raise "
+                "max_expansions")
+        return out
+
     def search(self, query: str, k: int = 10, mode: str = "OR",
                doc_filter: Optional[str] = None, prune: bool = True,
                score_partitions: Optional[int] = None,
@@ -620,7 +667,8 @@ class Index:
                seed_theta: Optional[bool] = None,
                must_not: Optional[list] = None,
                must: Optional[list] = None,
-               max_expansions: int = 64) -> DataFrame:
+               max_expansions: int = 64,
+               sort: bool = True) -> DataFrame:
         """Top-k BM25. Returns DataFrame (doc_id long, score double), ordered
         by (score desc, doc_id asc), <= k rows.
 
@@ -646,6 +694,11 @@ class Index:
         classic '+term' semantics. A must-word absent from the index
         matches nothing, exactly like mode="AND". must ⊆ query terms is
         not needed; must words join the scored term set automatically.
+
+        sort=False (facet/export internal path): return EVERY matching
+        doc with its exact score, unsorted and unlimited — pruning, heap
+        truncation, and the impact fast path are disabled; ``k`` is
+        ignored.
 
         Prefix queries: a whitespace token ending in '*' (e.g. "spar*")
         expands to every dictionary term with that prefix (bounded by
@@ -703,8 +756,8 @@ class Index:
         n_docs = self.stats["n_docs"]
         avg_dl = self.stats["avg_dl"]
         idf = {t: bm25_idf(n_docs, dfs[t]) for t in terms}
-        if (doc_filter is None and after is None and prune and not excl
-                and not req and k <= self.cfg.impact_top
+        if (sort and doc_filter is None and after is None and prune
+                and not excl and not req and k <= self.cfg.impact_top
                 and all(dfs[t] > self.cfg.impact_df_threshold
                         for t in terms)):
             if len(terms) == 1:
@@ -716,8 +769,245 @@ class Index:
                 return fast
         return self._search_terms(
             terms, dfs, idf, avg_dl, k=k, mode=mode, doc_filter=doc_filter,
-            prune=prune, score_partitions=score_partitions, after=after,
-            seed_theta=seed_theta, excl_terms=excl, required=req or None)
+            prune=prune and sort, score_partitions=score_partitions,
+            after=after, seed_theta=seed_theta, excl_terms=excl,
+            required=req or None, sort=sort)
+
+    def search_facets(self, query: str, facet_fields: list,
+                      mode: str = "OR", doc_filter: Optional[str] = None,
+                      must: Optional[list] = None,
+                      must_not: Optional[list] = None) -> DataFrame:
+        """Field faceting over the query's FULL matching doc set [public:
+        Solr facet.field; Lucene facets] — the counts a search UI shows
+        next to the top-k page, computed over every match, not the page.
+
+        Matching rides the ordinary scorer with pruning, θ seeding, heap
+        truncation, and the global top-k sort all disabled (facets need
+        every match; ``sort=False`` path): the plan is the same pruned
+        block scan -> streaming scorer -> left-semi join into the doc
+        store -> stack(field, value) -> groupBy/count. Distributed
+        end-to-end with no driver collect and no top-k heap — the shape
+        that survives faceting a head term at corpus scale. Tombstones
+        are masked inside the scorer like every other query path.
+
+        Returns (field string, value string, n long), one row per facet
+        field value with >= 1 matching doc (null values dropped, like
+        Solr's default facet.missing=false)."""
+        if not facet_fields:
+            raise ValueError("facet_fields must be non-empty")
+        matches = self.search(query, k=1, mode=mode, doc_filter=doc_filter,
+                              must=must, must_not=must_not, prune=False,
+                              sort=False).select("doc_id")
+        stack_expr = "stack({}, {}) as (field, value)".format(
+            len(facet_fields),
+            ", ".join(f"'{f}', cast({f} as string)" for f in facet_fields))
+        return (read_docs(self.spark, self.root)
+                .join(matches, "doc_id", "left_semi")
+                .selectExpr(stack_expr)
+                .where(F.col("value").isNotNull())
+                .groupBy("field", "value").agg(F.count("*").alias("n")))
+
+    def search_facet_range(self, query: str, field: str,
+                           start, end, gap,
+                           mode: str = "OR",
+                           doc_filter: Optional[str] = None,
+                           must: Optional[list] = None,
+                           must_not: Optional[list] = None) -> DataFrame:
+        """Range faceting over the query's full match set [public: Solr
+        facet.range]: doc counts per ``[start + i*gap, start + (i+1)*gap)``
+        bucket of a numeric doc-store ``field``, computed over EVERY
+        matching doc. Values outside ``[start, end)`` and nulls are
+        dropped (Solr's default ``facet.range.other=none``); the last
+        bucket keeps its full ``gap`` width (Solr raises ``end`` to
+        ``start + ceil((end-start)/gap)*gap`` — same here, since the
+        bucket floor, not ``end``, bounds membership).
+
+        Same distributed shape as search_facets: unpruned/unsorted scorer
+        (``sort=False``) -> left-semi join into the doc store -> one
+        groupBy over the bucket floor. Returns (bucket_lo long, n long),
+        only buckets with >= 1 matching doc (Solr mincount=1 behaviour;
+        a UI zero-fills client-side from start/end/gap). Integer
+        start/end/gap only — bucket_lo is a long."""
+        if gap <= 0 or end <= start:
+            raise ValueError("need gap > 0 and end > start")
+        if not all(isinstance(x, int) for x in (start, end, gap)):
+            raise ValueError("integer start/end/gap only")
+        matches = self.search(query, k=1, mode=mode, doc_filter=doc_filter,
+                              must=must, must_not=must_not, prune=False,
+                              sort=False).select("doc_id")
+        v = F.col(field)
+        bucket_lo = (F.lit(start)
+                     + F.floor((v - start) / gap) * gap).cast("long")
+        return (read_docs(self.spark, self.root)
+                .join(matches, "doc_id", "left_semi")
+                .where(v.isNotNull() & (v >= start) & (v < end))
+                .select(bucket_lo.alias("bucket_lo"))
+                .groupBy("bucket_lo").agg(F.count("*").alias("n")))
+
+    def search_collapse(self, query: str, collapse_field: str, k: int = 10,
+                        mode: str = "OR", doc_filter: Optional[str] = None,
+                        must: Optional[list] = None,
+                        must_not: Optional[list] = None) -> DataFrame:
+        """Field collapsing on the query path [public: Solr
+        CollapsingQParserPlugin (`fq={!collapse field=f}`); Lucene grouping
+        module]: the match set collapses to its single best hit per
+        ``collapse_field`` value (highest score, ties to the lowest
+        doc_id — the engine's standard total order), THEN the top-k page
+        is taken over the group representatives. Correct collapsing needs
+        the FULL match set (a pre-collapsed top-k could starve groups), so
+        this rides the unpruned ``sort=False`` scorer like facets, then
+        one window rank per group and the ordinary global top-k — two
+        shuffles total (group hash, final TakeOrdered), no driver collect.
+
+        A null group value forms ONE group like any other value (Spark
+        window and SQL GROUP BY semantics; deviation from Solr's default
+        nullPolicy=ignore, declared here). Returns (doc_id long, score
+        double, <collapse_field>), ordered (score desc, doc_id asc),
+        <= k rows."""
+        from pyspark.sql import Window
+        m = self.search(query, k=1, mode=mode, doc_filter=doc_filter,
+                        must=must, must_not=must_not, prune=False,
+                        sort=False)
+        joined = m.join(
+            read_docs(self.spark, self.root)
+            .select("doc_id", collapse_field), "doc_id", "inner")
+        w = (Window.partitionBy(collapse_field)
+             .orderBy(F.desc("score"), F.asc("doc_id")))
+        return (joined.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn")
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+    def search_facet_pivot(self, query: str, field_a: str, field_b: str,
+                           mode: str = "OR",
+                           doc_filter: Optional[str] = None,
+                           must: Optional[list] = None,
+                           must_not: Optional[list] = None) -> DataFrame:
+        """Pivot (nested) faceting over the query's full match set
+        [public: Solr facet.pivot=`a,b`]: doc counts per (field_a,
+        field_b) value pair across EVERY matching doc — the drill-down
+        tree a search UI renders, flattened to rows. Same full-match
+        shape as facets: sort=False scorer -> left-semi join -> ONE
+        two-key groupBy (the nested tree is a client-side regroup of
+        these rows — no extra pass needed). Rows where either field is
+        null are dropped (facet.missing=false at both levels). Returns
+        (value_a string, value_b string, n long)."""
+        m = self.search(query, k=1, mode=mode, doc_filter=doc_filter,
+                        must=must, must_not=must_not, prune=False,
+                        sort=False).select("doc_id")
+        return (read_docs(self.spark, self.root)
+                .join(m, "doc_id", "left_semi")
+                .where(F.col(field_a).isNotNull()
+                       & F.col(field_b).isNotNull())
+                .select(F.col(field_a).cast("string").alias("value_a"),
+                        F.col(field_b).cast("string").alias("value_b"))
+                .groupBy("value_a", "value_b")
+                .agg(F.count("*").alias("n")))
+
+    def search_sort_by(self, query: str, by: str, k: int = 10,
+                       ascending: bool = True, mode: str = "OR",
+                       doc_filter: Optional[str] = None,
+                       must: Optional[list] = None,
+                       must_not: Optional[list] = None) -> DataFrame:
+        """Field-sorted results [public: Solr `sort=field asc|desc` on
+        /select; Lucene Sort/SortField]: the top-k of the FULL match set
+        ordered by a doc-store field instead of relevance. A score-pruned
+        scorer is unsound here (the best-by-field doc may score lowest),
+        so the match set comes from the unpruned ``sort=False`` scorer,
+        joins the sort field, and one TakeOrdered picks the page —
+        exactly the shape Solr uses (bypass relevance, walk the field).
+        Nulls sort LAST in both directions (Solr sortMissingLast
+        analogue, declared); ties break by doc_id ascending (the
+        engine's standard total order). Returns (doc_id long, score
+        double, <by>), <= k rows."""
+        m = self.search(query, k=1, mode=mode, doc_filter=doc_filter,
+                        must=must, must_not=must_not, prune=False,
+                        sort=False)
+        joined = m.join(
+            read_docs(self.spark, self.root).select("doc_id", by),
+            "doc_id", "inner")
+        key = (F.col(by).asc_nulls_last() if ascending
+               else F.col(by).desc_nulls_last())
+        return joined.orderBy(key, F.asc("doc_id")).limit(k)
+
+    def search_facet_stats(self, query: str, field: str,
+                           mode: str = "OR",
+                           doc_filter: Optional[str] = None,
+                           must: Optional[list] = None,
+                           must_not: Optional[list] = None) -> DataFrame:
+        """Numeric stats over the query's full match set [public: Solr
+        StatsComponent (`stats.field`); JSON facet aggregations]:
+        count/sum/mean/min/max of a doc-store numeric field across EVERY
+        matching doc. Same full-match shape as facets (``sort=False``
+        scorer -> left-semi join -> ONE partial+final aggregate); nulls
+        excluded from all five stats (Solr counts them separately as
+        `missing` — not returned here). Returns one row
+        (n long, sum_v, avg_v double, min_v, max_v)."""
+        m = self.search(query, k=1, mode=mode, doc_filter=doc_filter,
+                        must=must, must_not=must_not, prune=False,
+                        sort=False).select("doc_id")
+        v = F.col(field)
+        return (read_docs(self.spark, self.root)
+                .join(m, "doc_id", "left_semi")
+                .agg(F.count(v).alias("n"),
+                     F.sum(v).alias("sum_v"),
+                     F.avg(v).alias("avg_v"),
+                     F.min(v).alias("min_v"),
+                     F.max(v).alias("max_v")))
+
+    def export_matches(self, query: str, columns: tuple = (),
+                       mode: str = "OR", doc_filter: Optional[str] = None,
+                       must: Optional[list] = None,
+                       must_not: Optional[list] = None) -> DataFrame:
+        """Full match-set export [public: Solr /export handler (streaming
+        expressions source); Lucene searchAfter exhaustion]: EVERY doc
+        matching the query with its exact BM25 score, plus any requested
+        doc-store ``columns`` — the feed a reranker or a downstream join
+        consumes, where top-k truncation would be wrong.
+
+        The scorer runs unpruned/unsorted/untruncated (``sort=False``) so
+        the result is the complete match set; no driver collect, no heap —
+        the output stays a distributed DataFrame the caller writes or
+        joins. Deliberately UNORDERED (a global sort of an unbounded
+        match set is the one thing /export refuses too — Solr streams by
+        segment order; callers sort after narrowing). Returns
+        (doc_id long, score double, *columns)."""
+        out = self.search(query, k=1, mode=mode, doc_filter=doc_filter,
+                          must=must, must_not=must_not, prune=False,
+                          sort=False)
+        if columns:
+            out = out.join(
+                read_docs(self.spark, self.root)
+                .select("doc_id", *columns), "doc_id", "inner")
+        return out
+
+    def search_boosted(self, query: str, boost_by: str, k: int = 10,
+                       additive: bool = False, mode: str = "OR",
+                       doc_filter: Optional[str] = None,
+                       must: Optional[list] = None,
+                       must_not: Optional[list] = None) -> DataFrame:
+        """Function-score boosting [public: Solr `boost=`/`bf=` params;
+        Lucene FunctionScoreQuery]: final score = bm25 * f(doc) (or
+        bm25 + f(doc) with ``additive=True``, Solr's `bf`), where
+        ``boost_by`` is a SQL expression over doc-store columns evaluated
+        per matching doc — recency decay, length priors, popularity
+        signals. An unbounded boost can promote ANY match into the page,
+        so score-pruned top-k is unsound here: the match set rides the
+        unpruned ``sort=False`` scorer, joins the doc store once, and one
+        TakeOrdered picks the page (same full-match shape as
+        search_sort_by). A null boost value is the neutral element
+        (1 multiplicative / 0 additive — deterministic; Solr's
+        `field(f,def)` default analogue, declared). Ties break by doc_id
+        ascending. Returns (doc_id long, score double), <= k rows —
+        ``score`` is the BOOSTED score."""
+        m = self.search(query, k=1, mode=mode, doc_filter=doc_filter,
+                        must=must, must_not=must_not, prune=False,
+                        sort=False)
+        b = F.coalesce(F.expr(boost_by).cast("double"),
+                       F.lit(0.0 if additive else 1.0))
+        joined = m.join(read_docs(self.spark, self.root), "doc_id", "inner")
+        boosted = (F.col("score") + b) if additive else (F.col("score") * b)
+        return (joined.select("doc_id", boosted.alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
     def search_fields(self, field_queries: dict, boosts: Optional[dict] = None,
                       k: int = 10, mode: str = "OR",
@@ -830,6 +1120,7 @@ class Index:
           "sort merge"~2 -scan    phrase (slop) + exclusion -> phrase()
           spar* databse~1         prefix / fuzzy expansion -> scored OR
           s?a*n [hash TO join]    wildcard / term-range expansion -> OR
+          /s[pc]a[rn].*/          regexp expansion (anchored) -> OR
           source:src7^2 +lang:en  fielded terms w/ boosts  -> search_fields()
 
         A phrase clause must be the only SCORED clause (MUST_NOT term
@@ -869,9 +1160,9 @@ class Index:
             bad = [c for c in pos if c.kind not in ("term",)]
             if bad:
                 raise ValueError(
-                    "prefix/wildcard/range/fuzzy clauses are not supported "
-                    "in fielded queries; use plain terms or an unfielded "
-                    "query")
+                    "prefix/wildcard/range/fuzzy/regexp clauses are not "
+                    "supported in fielded queries; use plain terms or an "
+                    "unfielded query")
             if any(n.kind != "term" for n in neg):
                 raise ValueError("fielded MUST_NOT supports plain term "
                                  "clauses only")
@@ -916,6 +1207,11 @@ class Index:
                 return self.expand_range(
                     norm_bound(c.lo), norm_bound(c.hi),
                     c.incl_lo, c.incl_hi, max_expansions)
+            if c.kind == "regex":
+                # analyzer normalization of the pattern's literals; regex
+                # metachars are ASCII so NFKD+lower is a no-op on them
+                pat = unicodedata.normalize("NFKD", c.text).lower()
+                return self.expand_regexp(pat, max_expansions)
             toks = tokenize_py(c.text, self.cfg.stopwords)  # fuzzy
             return self.expand_fuzzy(toks[-1], c.max_dist) if toks else []
 
@@ -942,14 +1238,17 @@ class Index:
 
     def _search_terms(self, terms, dfs, idf, avg_dl, k, mode, doc_filter,
                       prune, score_partitions, after, seed_theta,
-                      excl_terms=None, required=None):
+                      excl_terms=None, required=None, sort=True):
         """Shared execution path for search()/search_fields(): pruned
         block scan -> one chunk shuffle -> streamed scorer -> top-k.
         ``avg_dl``: scalar, or dict term->avgdl (per-field norms).
         ``excl_terms``: MUST_NOT terms — their blocks ride the same scan
         (doc-id streams only) and mask candidates inside the scorer.
         ``required``: MUST-term subset (mixed Boolean queries); candidates
-        must contain every one of them, the rest still score."""
+        must contain every one of them, the rest still score.
+        ``sort=False`` (facet/export path): return EVERY match unsorted —
+        heap truncation, θ seeding, and the final global top-k all
+        disabled; ``k`` is ignored."""
         spark = self.spark
         excl_terms = excl_terms or []
         empty = spark.createDataFrame([], "doc_id long, score double")
@@ -961,6 +1260,7 @@ class Index:
         # scoring everything and semi-joining after (VERDICT r1 #1).
         allowed_bc, allowed_df, truncate, is_empty = \
             self._resolve_filter(doc_filter)
+        truncate = truncate and sort
         if is_empty:
             return empty
         src = self._postings_for_filter(allowed_bc)
@@ -1019,6 +1319,8 @@ class Index:
         )
         if doc_filter is not None and allowed_bc is None:
             cand = cand.join(allowed_df, "doc_id", "left_semi")
+        if not sort:
+            return cand
         return cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # ----------------------------------------------------------- phrase ---

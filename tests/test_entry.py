@@ -103,14 +103,25 @@ _FAMILY_REPRESENTATIVES = {
     "aggregation": ["agg_stats", "agg_distinct", "cube_lang_source",
                     "facet_count", "facet_percentile"],
     "window": ["window_rank", "window_lag_frame"],
-    "sort-topk-paging": ["topk_orders", "topk_orders_page2"],
+    "sort-topk-paging": ["topk_orders", "topk_orders_page2",
+                         "sort_by_search"],
     "setops": ["setop_union"],
     "string-date-json-array": ["str_tokens", "date_trunc_agg",
                                "json_extract", "array_explode_tf"],
-    "fulltext-bm25": ["topk_bm25", "topk_bm25_and", "topk_bm25_stop"],
+    # boosted_search (D25 function-score) is a relevance-family variant:
+    # driver-facing cover comes from topk_bm25; the boost path itself is
+    # pytest-oracle-checked via extra_queries
+    "fulltext-bm25": ["topk_bm25", "topk_bm25_and", "topk_bm25_stop",
+                      "boosted_search"],
     "fulltext-boolean": ["topk_bm25_not", "topk_prefix"],
     "phrase": ["topk_phrase", "topk_phrase_slop"],
     "fielded": ["topk_bm25_fielded"],
+    "facet-on-search": ["facet_search", "facet_range_search",
+                        "facet_stats_search", "facet_pivot_search"],
+    "export-full-match": ["export_search"],
+    # D12 result grouping: relational rep (driver-facing) + the r5
+    # search-path collapse variant
+    "result-grouping-collapse": ["window_rank", "collapse_search"],
     "dict-suggest-spell": ["term_dict_stats", "term_suggest", "spellcheck",
                            "more_like_this"],
     "dedup": ["dedup_exact", "dedup_near_pairs", "minhash_signature",

@@ -45,6 +45,10 @@ def clause_strategy() -> st.SearchStrategy[Clause]:
         if kind == "fuzzy":
             return Clause(text=words[0], occur=soft, kind="fuzzy",
                           field=fld, max_dist=dist)
+        if kind == "regex":
+            pat = words[0] + (".*" if brackets[0] else "") + \
+                ("[ab]" if brackets[1] else "")
+            return Clause(text=pat, occur=soft, kind="regex", field=fld)
         boost = boost if fld is not None else 1.0
         return Clause(text=words[0], occur=occur, kind="term", field=fld,
                       boost=boost)
@@ -52,7 +56,7 @@ def clause_strategy() -> st.SearchStrategy[Clause]:
     return st.builds(
         build,
         st.sampled_from(["term", "phrase", "prefix", "wildcard", "range",
-                         "fuzzy"]),
+                         "fuzzy", "regex"]),
         st.sampled_from(["SHOULD", "MUST", "MUST_NOT"]),
         st.lists(WORD, min_size=1, max_size=3),
         FIELD,
@@ -77,6 +81,8 @@ def render(c: Clause) -> str:
             (c.hi or "*") + ("]" if c.incl_hi else "}")
     elif c.kind == "fuzzy":
         body = f"{c.text}~{c.max_dist}"
+    elif c.kind == "regex":
+        body = "/" + c.text.replace("/", r"\/") + "/"
     else:
         body = c.text + (f"^{c.boost:g}" if c.boost != 1.0 else "")
     return sign + fld + body
@@ -101,7 +107,7 @@ def test_never_crashes_only_valueerror(qs):
     for c in out.clauses:
         assert c.occur in ("SHOULD", "MUST", "MUST_NOT")
         assert c.kind in ("term", "phrase", "prefix", "wildcard",
-                          "range", "fuzzy")
+                          "range", "fuzzy", "regex")
         assert c.text or c.kind == "phrase"  # "" phrase = empty quotes
 
 

@@ -1,8 +1,9 @@
-"""Wildcard and term-range queries (D21 r5) [public: Lucene
-WildcardQuery / TermRangeQuery; Solr wildcard + range syntax]: both
-rewrite to a bounded scored OR over dictionary terms, so every test
-checks (a) the expansion set against a brute-force vocabulary scan and
-(b) the ranked results against the oracle running the expanded list.
+"""Wildcard, term-range, and regexp queries (D21/D22 r5) [public: Lucene
+WildcardQuery / TermRangeQuery / RegexpQuery; Solr wildcard + range +
+/regex/ syntax]: all rewrite to a bounded scored OR over dictionary
+terms, so every test checks (a) the expansion set against a brute-force
+vocabulary scan and (b) the ranked results against the oracle running
+the expanded list.
 """
 
 import re
@@ -139,3 +140,66 @@ def test_range_large_vocab_df_path(engine):
         assert engine.expand_range("scan", "spark") == cached
     finally:
         engine._dict_preloaded = saved
+
+
+# ------------------------------------------------------------------- regexp
+
+def _regex_matches(vocab, pattern):
+    rx = re.compile("^(?:" + pattern + ")$")
+    return sorted(t for t in vocab if rx.match(t))
+
+
+def test_regexp_expansion_matches_brute_force(engine, corpus):
+    vocab = _vocab(corpus)
+    for pat in ["s[pc]a[rn].*", "w00[0-9]2", "jo(in|bs)", "sp.rk",
+                "merge|scan", "w0+1.?"]:
+        assert engine.expand_regexp(pat, max_expansions=10 ** 6) == \
+            _regex_matches(vocab, pat), pat
+
+
+def test_regexp_query_scores_as_or(engine, oracle):
+    terms = engine.expand_regexp("s[pc]a[rn].*")
+    assert terms  # spark + scan live in t_tiny's vocabulary
+    got = [(r.doc_id, r.score)
+           for r in engine.query("/s[pc]a[rn].*/", k=10).collect()]
+    exp = oracle.search(" ".join(terms), k=10)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-9)
+
+
+def test_regexp_must_not_excludes_expansions(engine, oracle, corpus):
+    excl = set(engine.expand_regexp("s[pc]a[rn].*"))
+    base = oracle.search("join", k=10 ** 9)
+    bad = {i for i, t in enumerate(corpus["text"])
+           if excl & set(tokenize_py(t))}
+    exp = [(d, s) for d, s in base if d not in bad][:10]
+    got = [(r.doc_id, r.score)
+           for r in engine.query("join -/s[pc]a[rn].*/", k=10).collect()]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+
+
+def test_regexp_bounds_and_validation(engine):
+    with pytest.raises(ValueError, match="more than"):
+        engine.query("/w.*/", k=10, max_expansions=5).collect()
+    with pytest.raises(ValueError, match="bad regexp"):
+        engine.expand_regexp("[unclosed")
+    with pytest.raises(ValueError, match="empty regexp"):
+        engine.query("//", k=10)
+    with pytest.raises(ValueError, match="required disjunction"):
+        engine.query("+/sp.rk/", k=10)
+    # no match -> empty result, not an error
+    assert engine.query("/zz[0-9]qq.*/", k=10).count() == 0
+
+
+def test_regexp_large_vocab_df_path(engine):
+    """Pushed-down dict-scan path == driver-cache path, with and without
+    a guaranteed literal prefix (alternation voids the pushdown)."""
+    for pat in ["s[pc]a[rn].*", "merge|scan"]:
+        cached = engine.expand_regexp(pat)
+        saved = engine._dict_preloaded
+        engine._dict_preloaded = False
+        try:
+            assert engine.expand_regexp(pat) == cached, pat
+        finally:
+            engine._dict_preloaded = saved

@@ -71,8 +71,14 @@ def main() -> None:
             "evidence; both clear 0.8.")
         wall_pass = all_median >= 0.8 and cpu_median >= 0.8
 
+    tps_n = sorted(p["rn"]["turns_per_sec"] for p in pairs)
+    tps_4n = sorted(p["r4n"]["turns_per_sec"] for p in pairs)
     out = {
         "protocol": a2["protocol"],
+        "build_turns_per_sec_n_median": round(statistics.median(tps_n), 1),
+        "build_turns_per_sec_n_range": [tps_n[0], tps_n[-1]],
+        "build_turns_per_sec_4n_median": round(statistics.median(tps_4n), 1),
+        "build_turns_per_sec_4n_range": [tps_4n[0], tps_4n[-1]],
         "adjudication_r5": adjudication,
         "attempts": {
             "attempt1": {k: a1[k] for k in
@@ -106,7 +112,12 @@ def main() -> None:
     print(json.dumps({k: out[k] for k in
                       ("pairs_total", "certified_pairs",
                        "wall_eff_certified_median", "wall_eff_all_median",
-                       "cpu_eff_all_median", "wall_pass")}))
+                       "cpu_eff_all_median", "wall_pass",
+                       "build_turns_per_sec_n_median",
+                       "build_turns_per_sec_n_range",
+                       "build_turns_per_sec_4n_median",
+                       "build_turns_per_sec_4n_range",
+                       "controls_observed_it_s")}))
     print(adjudication)
 
 

@@ -138,6 +138,24 @@ def main() -> None:
                          "on bucket + PushedFilters on term",
                          cap_explain(imp_scan)))
 
+    # 11. r5: facet over search results — full-match scorer feeding a
+    # left-semi join into the doc store and ONE aggregate; nothing sorts
+    sections.append(("search_facets (D23, r5): expect the mapInPandas "
+                     "scorer -> left-semi join into the docs scan -> one "
+                     "partial+final HashAggregate; NO TakeOrderedAndProject,"
+                     " NO global Sort (the full-match-set path)",
+                     cap_explain(ix.search_facets("spark join",
+                                                  ["role", "tool"]))))
+
+    # 12. r5: single-pass language ID — one Generate + broadcast join
+    # against the profile table (the r4 verdict's 160-contains() fix)
+    sections.append(("lang_trigram (r5 single-pass): expect ONE Generate "
+                     "(trigram explode) + BroadcastHashJoin against the "
+                     "~160-row profile table + pivot aggregate — no "
+                     "Contains cascade",
+                     cap_explain(relops.lang_trigram(
+                         spark, "/root/testdata/sf0.001"))))
+
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)",
            "", "Checks SURVEY.md §4's free-vs-custom claims against the real "
            "Catalyst output. Regenerate after plan-affecting changes.", ""]
