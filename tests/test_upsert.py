@@ -62,7 +62,9 @@ def test_replaced_rows_stop_matching(spark, up_setup):
     got2 = {r.doc_id
             for r in ix.search("replacedmarker", k=10 ** 6).collect()}
     assert len(got2) == HI - LO
-    assert min(got2) >= N_BASE
+    # appended doc_ids start after the base corpus; synthesize_pandas(n)
+    # returns ~n rows (transcripts.py docstring), so derive from len(pdf)
+    assert min(got2) >= len(pdf)
 
 
 def test_upsert_replay_is_noop(spark, up_setup):
@@ -134,20 +136,22 @@ def test_streaming_upsert_foreachbatch(spark, tmp_path):
     q = upsert_index_query(stream, root, CFG,
                            checkpoint=str(tmp_path / "ckpt"))
     q.awaitTermination(300)
+    n_base = len(pdf)                         # synthesize_pandas(n) ~ n
     ix = Index(spark, root)
     assert ix.manifest.get("deletes", {}).get("n") == 20
-    assert ix.stats["n_docs"] == 330          # appended rows (pre-purge)
+    # appended rows (pre-purge): base corpus + the whole second batch
+    assert ix.stats["n_docs"] == n_base + len(batch2)
     got = {r.doc_id
            for r in ix.search("replacedmarker", k=10 ** 6).collect()}
     assert len(got) == 20                     # replacements live
-    assert min(got) >= 300                    # under fresh doc_ids
+    assert min(got) >= n_base                 # under fresh doc_ids
     # the overwritten versions (base-segment doc_ids of the re-emitted
     # keys) no longer match anything
     keys = set(zip(repl["conv_id"], repl["turn_idx"].astype(int)))
     docs = read_docs(spark, root) \
         .select("doc_id", "conv_id", "turn_idx").toPandas()
     old_ids = {int(r.doc_id) for r in docs.itertuples()
-               if (r.conv_id, int(r.turn_idx)) in keys and r.doc_id < 300}
+               if (r.conv_id, int(r.turn_idx)) in keys and r.doc_id < n_base}
     assert len(old_ids) == 20
     hits = {r.doc_id for r in ix.search("spark", k=10 ** 6).collect()}
     assert not (hits & old_ids)
@@ -155,7 +159,7 @@ def test_streaming_upsert_foreachbatch(spark, tmp_path):
 
 def test_upsert_bootstraps_fresh_index(spark, tmp_path):
     root = str(tmp_path / "boot")
-    pdf = synthesize_pandas(100)
+    pdf = synthesize_pandas(100)              # returns ~100 rows
     man = upsert_segment(spark, root, spark.createDataFrame(pdf), CFG)
-    assert man["stats"]["n_docs"] == 100
+    assert man["stats"]["n_docs"] == len(pdf)
     assert Index(spark, root).search("spark", k=5).count() > 0
