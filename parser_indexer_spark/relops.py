@@ -13,15 +13,35 @@ throughout (floats must hash identically across engines):
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.storagelevel import StorageLevel
 
 from parser_indexer_spark.analyze import tokenize_series
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _rr(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for compute-heavy per-row operators
+    (guide §2.2/§6): the testdata tables are single-row-group parquet files,
+    which CANNOT be split below one scan task no matter what
+    maxPartitionBytes says — so at bench scale every text/vector operator
+    otherwise runs its whole compute on ONE core. Round-robin repartition to
+    the session's default parallelism ONLY when the scan has fewer
+    partitions; at real scale the scan already has more splits than cores
+    and this no-ops (the bytes moved here are the pruned input columns,
+    megabytes — the compute they feed is seconds per core)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
 
 
 # --------------------------------------------------------- scan / filter ---
@@ -208,13 +228,39 @@ def date_trunc_agg(spark, sf_dir):
 
 
 def array_explode_tf(spark, sf_dir):
-    """tf via pure built-ins: split/explode/filter/group — the JVM-side
-    equivalent of the fused tokenize stage (documents are ASCII lower)."""
+    """tf per (doc_id, term). r6: every row of an output group comes from
+    ONE input document row, so the corpus-wide groupBy shuffle is
+    unnecessary — the counts are computed doc-locally in one Arrow/numpy
+    pass (factorize + lexsort + run-length, the same pattern as the build
+    path's fused tokenize stage) and emitted directly: zero Exchange.
+    Output rows identical to split/explode/groupBy-count (the DuckDB
+    oracle still computes that form)."""
     d = T(spark, sf_dir, "documents")
-    tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
-                      lambda x: x != "")
-    return (d.select("doc_id", F.explode(tokens).alias("term"))
-             .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            t, parents, _ = _relops_flat_tokens(pdf["text"])
+            if t.size == 0:
+                continue
+            codes, uniq = pd.factorize(t)
+            order = np.lexsort((codes, parents))
+            p_s, c_s = parents[order], codes[order]
+            cut = np.empty(t.size, dtype=bool)
+            cut[0] = True
+            cut[1:] = (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])
+            starts = np.flatnonzero(cut)
+            tf = np.diff(np.append(starts, t.size))
+            yield pd.DataFrame({
+                "doc_id": doc_ids[p_s[starts]],
+                "term": np.asarray(uniq, dtype=object)[c_s[starts]],
+                "tf": tf.astype(np.int64),
+            })
+
+    return _rr(d.select("doc_id", "text")) \
+        .mapInPandas(gen, "doc_id long, term string, tf long")
 
 
 def json_extract(spark, sf_dir):
@@ -234,40 +280,137 @@ def dedup_exact(spark, sf_dir):
              .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper")))
 
 
+def _relops_flat_tokens(texts: pd.Series):
+    """lower + split on [^a-z0-9]+ (the relops/oracle tokenizer — NOT the
+    index analyzer) via Arrow kernels; returns (flat object ndarray of
+    tokens, parent row indices int64, per-row token counts int64). Mirrors
+    F.filter(F.split(F.lower(text), '[^a-z0-9]+'), x -> x != '') exactly:
+    same split pattern, empties dropped, null text -> zero tokens."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, type=pa.string())
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), r"[^a-z0-9]+")
+    lengths = pc.fill_null(pc.list_value_length(toks), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    parents = np.repeat(np.arange(len(toks), dtype=np.int64), lengths)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False).astype(bool)
+    flat = flat.filter(keep)
+    parents = parents[keep_np]
+    counts = np.bincount(parents, minlength=len(toks)).astype(np.int64)
+    return flat.to_numpy(zero_copy_only=False), parents, counts
+
+
+def _minhash_sigs_np(d: DataFrame, n_hashes: int, with_size: bool = False,
+                     n_bands: int = 0) -> DataFrame:
+    """(doc_id, sig0..sig{n-1}[, n_sh]) — MinHash signatures over token
+    3-shingles in ONE Arrow/numpy pass (guide §4.2: batch work to native
+    kernels instead of interpreted JVM HOF chains; the prior expression
+    tree measured ~20us/shingle in HOF md5 evaluation, and its
+    split()-inside-lambda re-evaluated the tokenizer PER ELEMENT —
+    O(L^2)/doc). Semantics are bit-identical to
+    min(md5('s{i}:' || shingle)): md5 here is libc hashlib over the same
+    UTF-8 bytes, min is the same lexicographic order on the hex digests,
+    shingles are deduped per batch (min is unaffected by duplicates), and
+    docs with < 3 tokens emit no row. ``with_size`` adds n_sh = the
+    DISTINCT shingle count per doc (what exact-Jaccard needs).
+    ``n_bands`` > 0 additionally emits bh0..bh{n_bands-1} — the LSH band
+    hashes md5(sig_{b*r} || '|' || ... ) — in the same pass, so the band
+    join consumes plain columns instead of a JVM md5-expression stage."""
+    import hashlib
+
+    prefixes = [f"s{i}:".encode("utf-8") for i in range(n_hashes)]
+    rows_per = n_hashes // n_bands if n_bands else 0
+    schema = "doc_id long, " + \
+        ", ".join(f"sig{i} string" for i in range(n_hashes))
+    if with_size:
+        schema += ", n_sh int"
+    if n_bands:
+        schema += ", " + ", ".join(f"bh{b} string" for b in range(n_bands))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            t, parents, _ = _relops_flat_tokens(pdf["text"])
+            if t.size >= 3:
+                valid = parents[:-2] == parents[2:]
+                sh = (t[:-2] + " " + t[1:-1] + " " + t[2:])[valid]
+                par = parents[:-2][valid]
+            else:
+                sh = np.empty(0, dtype=object)
+                par = np.empty(0, dtype=np.int64)
+            if sh.size == 0:
+                continue
+            # (doc, shingle) -> distinct, then md5 only the batch-unique
+            # shingles (synthetic corpora repeat shingles heavily)
+            codes, uniq = pd.factorize(sh)
+            pair = pd.DataFrame({"_p": par, "_c": codes}).drop_duplicates()
+            H = [np.fromiter(
+                    (md5(p + u.encode("utf-8")).hexdigest() for u in uniq),
+                    dtype=object, count=len(uniq)) for p in prefixes]
+            cols = {"_p": pair["_p"].to_numpy()}
+            cc = pair["_c"].to_numpy()
+            for i in range(n_hashes):
+                cols[f"sig{i}"] = H[i][cc]
+            g = pd.DataFrame(cols).groupby("_p", sort=True)
+            mins = g.min()
+            out = {"doc_id": doc_ids[mins.index.to_numpy()]}
+            for i in range(n_hashes):
+                out[f"sig{i}"] = mins[f"sig{i}"].to_numpy()
+            if with_size:
+                out["n_sh"] = g.size().to_numpy().astype(np.int32)
+            for b in range(n_bands):
+                segs = [out[f"sig{b * rows_per + r}"]
+                        for r in range(rows_per)]
+                joined = segs[0]
+                for s in segs[1:]:
+                    joined = joined + "|" + s
+                out[f"bh{b}"] = np.fromiter(
+                    (md5(x.encode("utf-8")).hexdigest() for x in joined),
+                    dtype=object, count=len(joined))
+            yield pd.DataFrame(out)
+
+    return _rr(d.select("doc_id", "text")).mapInPandas(gen, schema)
+
+
 def minhash_signature(spark, sf_dir):
     """MinHash over token 3-shingles, 4 hash families (md5-seeded) — the
-    signature stage of MinHash-LSH near-dup detection, verifiable in SQL."""
-    d = T(spark, sf_dir, "documents")
-    tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
-                      lambda x: x != "")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tokens) - 3),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, 3)),
-            )
-        ).alias("shingle"),
-    ).where(F.size(tokens) >= 3)
-    aggs = [F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle"))))
-             .alias(f"sig{i}") for i in range(4)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    signature stage of MinHash-LSH near-dup detection, verifiable in SQL.
+    r6: computed by the Arrow/numpy kernel (_minhash_sigs_np) — same
+    output bit-for-bit, the DuckDB oracle still computes the explode +
+    groupBy min form so the two algorithms cross-check."""
+    return _minhash_sigs_np(T(spark, sf_dir, "documents"), 4)
 
 
-def _shingle_set(d: DataFrame, k: int = 3) -> DataFrame:
-    """DISTINCT (doc_id, shingle) over token k-shingles — the set view that
-    Jaccard needs (minhash_signature keeps duplicates; min is unaffected)."""
-    tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
-                      lambda x: x != "")
-    return (d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tokens) - k),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
-            )
-        ).alias("shingle"),
-    ).where(F.size(tokens) >= k).distinct())
+def _shingle_rows_np(d: DataFrame) -> DataFrame:
+    """DISTINCT (doc_id, shingle) rows over token 3-shingles — the set view
+    exact-Jaccard verification joins on. Same Arrow/numpy kernel as
+    _minhash_sigs_np (shared tokenizer, per-batch dedup), no corpus-wide
+    distinct shuffle: the (doc, shingle) pairs of one doc all come from one
+    input row, so dedup is batch-local."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            t, parents, _ = _relops_flat_tokens(pdf["text"])
+            if t.size < 3:
+                continue
+            valid = parents[:-2] == parents[2:]
+            sh = (t[:-2] + " " + t[1:-1] + " " + t[2:])[valid]
+            par = parents[:-2][valid]
+            if sh.size == 0:
+                continue
+            yield pd.DataFrame({"doc_id": doc_ids[par],
+                                "shingle": sh}).drop_duplicates()
+
+    return _rr(d.select("doc_id", "text")) \
+        .mapInPandas(gen, "doc_id long, shingle string")
 
 
 def _cap_buckets(rows: DataFrame, keys: list, max_bucket: int) -> DataFrame:
@@ -296,20 +439,22 @@ def lsh_oversized_buckets(d: DataFrame, n_hashes: int = 8, n_bands: int = 4,
                  .where(F.col("size") > max_bucket))
 
 
-def _minhash_bands(d: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
-    rows = n_hashes // n_bands
-    sh = _shingle_set(d)
-    sigs = sh.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle"))))
-         .alias(f"sig{i}") for i in range(n_hashes)])
+def _band_rows(sigs: DataFrame, n_bands: int,
+               extra: tuple = ()) -> DataFrame:
+    """(doc_id, band, bh[, extra...]) exploded from the bh0..bh{n-1}
+    columns _minhash_sigs_np(n_bands=...) precomputed — plain-column
+    explode, no expression stage."""
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[F.col(f"sig{b * rows + r}")
-                                     for r in range(rows)])).alias("bh"),
-        ) for b in range(n_bands)]
-    return (sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("x"))
-                .select("doc_id", "x.band", "x.bh"))
+        F.struct(F.lit(b).alias("band"), F.col(f"bh{b}").alias("bh"))
+        for b in range(n_bands)]
+    return (sigs.select("doc_id", *extra,
+                        F.explode(F.array(*band_structs)).alias("x"))
+                .select("doc_id", *extra, "x.band", "x.bh"))
+
+
+def _minhash_bands(d: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    return _band_rows(_minhash_sigs_np(d, n_hashes, n_bands=n_bands),
+                      n_bands)
 
 
 def near_dup_pairs(d: DataFrame, n_hashes: int = 8, n_bands: int = 4,
@@ -328,27 +473,42 @@ def near_dup_pairs(d: DataFrame, n_hashes: int = 8, n_bands: int = 4,
     ``max_bucket`` caps LSH bucket size (VERDICT r2 #2): buckets with more
     members are dropped from candidate generation (bounding the self-join
     at max_bucket^2 per bucket) and surfaced by lsh_oversized_buckets().
-    The DuckDB oracle mirrors the cap exactly."""
-    sh = _shingle_set(d)
-    bands = _cap_buckets(_minhash_bands(d, n_hashes, n_bands),
+    The DuckDB oracle mirrors the cap exactly.
+
+    r6 plan shape (guide §1.2 step 1 — remove recomputation before tuning
+    per-task work): the old plan evaluated the full-corpus shingle subtree
+    FOUR times (bands, sizes, and both verification legs). Now ONE
+    Arrow/numpy pass computes signatures AND distinct-shingle sizes
+    (_minhash_sigs_np with_size=True), persisted (tiny: n_docs x 9 cols)
+    so banding/cap/candidates/sizes all reuse it; the exact-Jaccard
+    verification re-shingles ONLY candidate docs (broadcast semi-join
+    pushed below the shingle projection), not the whole corpus."""
+    sigs = _minhash_sigs_np(d, n_hashes, with_size=True, n_bands=n_bands) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _cap_buckets(_band_rows(sigs, n_bands, extra=("n_sh",)),
                          ["band", "bh"], max_bucket)
-    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
-    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    # n_sh rides along on the band rows, so the Jaccard denominator needs
+    # no re-join against the size table afterwards (2 fewer join stages)
+    ba = bands.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("na"), "band", "bh")
+    bb = bands.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("nb"), "band", "bh")
     cand = (ba.join(bb, ["band", "bh"])
               .where(F.col("doc_a") < F.col("doc_b"))
-              .select("doc_a", "doc_b").distinct())
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+              .select("doc_a", "doc_b", "na", "nb").distinct()) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    cdocs = (cand.select(F.col("doc_a").alias("doc_id"))
+                 .union(cand.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    sh = _shingle_rows_np(d.join(F.broadcast(cdocs), "doc_id", "left_semi")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
-                 .groupBy("doc_a", "doc_b")
+                 .groupBy("doc_a", "doc_b", "na", "nb")
                  .agg(F.count("*").alias("n_inter")))
     jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (inter
-            .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                               F.col("n_sh").alias("na")), "doc_a")
-            .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                               F.col("n_sh").alias("nb")), "doc_b")
             .where(jac >= threshold)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
@@ -358,27 +518,80 @@ def dedup_near_pairs(spark, sf_dir):
     return near_dup_pairs(T(spark, sf_dir, "documents"))
 
 
+def _lsh_plane(p: int, dim: int) -> list:
+    """Deterministic pseudo-random hyperplane from EXACT integer arithmetic
+    (identical doubles in DuckDB — libm cos() may differ in the last ulp
+    and flip a sign bit at the bucket boundary)."""
+    return [((j + 1) * (p * 7 + 3) * 2654435761 % 1000 - 500) / 250.0
+            for j in range(dim)]
+
+
+def _py_fold_dot(vec, plane) -> float:
+    """Driver-side plane dot with the SAME left-fold order as the JVM
+    aggregate(zip_with(...)) expression — bitwise-identical doubles."""
+    acc = 0.0
+    for x, p in zip(vec, plane):
+        acc += float(x) * float(p)
+    return acc
+
+
+def _emb_lsh_np(emb: DataFrame, planes: np.ndarray, group_sizes: list,
+                names: list, qe) -> DataFrame:
+    """(vec_id, <bucket cols>, _exact) in ONE Arrow/numpy pass (r6, guide
+    §4.2). Replaces per-row interpreted zip_with/aggregate folds (one per
+    hyperplane + cosine, ~50 passes/row for the 16-table variant) with a
+    column-wise accumulation loop: acc += E[:, j] * p[j] performs, for
+    every row lane independently, EXACTLY the JVM fold's addition sequence
+    — results are bitwise-identical doubles, so bucket sign bits and
+    cosine ranks cannot diverge. Bucket col g = sum of 2^i over planes i
+    of its group with dot >= 0 (same when/otherwise integer build)."""
+    qn = float(sum(float(x) * float(x) for x in qe)) ** 0.5
+    qarr = np.array([float(x) for x in qe], dtype=np.float64)
+    schema = "vec_id long, " + \
+        "".join(f"{b} int, " for b in names) + "_exact double"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy())
+            n, dim = E.shape
+            npl = planes.shape[1] if planes.size else 0
+            D = np.zeros((n, npl), dtype=np.float64)
+            dot = np.zeros(n, dtype=np.float64)
+            ss = np.zeros(n, dtype=np.float64)
+            for j in range(dim):
+                c = E[:, j].astype(np.float64)
+                if npl:
+                    D += c[:, None] * planes[j][None, :]
+                dot += c * qarr[j]
+                ss += c * c
+            cos = dot / (np.sqrt(ss) * qn)
+            out = {"vec_id": pdf["vec_id"].to_numpy(np.int64)}
+            off = 0
+            for name, gs in zip(names, group_sizes):
+                b = np.zeros(n, dtype=np.int64)
+                for i in range(gs):
+                    b |= (D[:, off + i] >= 0).astype(np.int64) << i
+                out[name] = b.astype(np.int32)
+                off += gs
+            out["_exact"] = cos
+            yield pd.DataFrame(out)
+
+    return _rr(emb.select("vec_id", "embedding")).mapInPandas(gen, schema)
+
+
 def ann_cosine(spark, sf_dir):
     """Brute-force cosine top-20 neighbours of vec_id=0 over embeddings —
-    the exact baseline for ANN; JVM-side higher-order functions only."""
+    the exact baseline for ANN (r6: numpy kernel, bitwise-identical fold)."""
     emb = T(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")).first()["q_emb"]
-    qlit = F.array(*[F.lit(float(x)) for x in q])
-    dot = F.aggregate(
-        F.zip_with(F.col("embedding"), qlit,
-                   lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    nrm = F.sqrt(F.aggregate(
-        F.transform(F.col("embedding"),
-                    lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    qn = float(sum(float(x) * float(x) for x in q)) ** 0.5
-    cos = dot / (nrm * F.lit(qn))
-    return (emb.where(F.col("vec_id") != 0)
-               .select("vec_id", cos.alias("_exact"))
-               .orderBy(F.desc("_exact"), F.asc("vec_id")).limit(20)
-               .select("vec_id", F.round("_exact", 6).alias("cosine")))
+    sc = _emb_lsh_np(emb, np.empty((len(q), 0)), [], [], q)
+    return (sc.where(F.col("vec_id") != 0)
+              .select("vec_id", "_exact")
+              .orderBy(F.desc("_exact"), F.asc("vec_id")).limit(20)
+              .select("vec_id", F.round("_exact", 6).alias("cosine")))
 
 
 # ------------------------------------ text analysis (training-data ops) ---
@@ -582,28 +795,153 @@ def lang_trigram_df(d: DataFrame) -> DataFrame:
                     best.alias("lang_id"))
 
 
+def lang_trigram_np(d: DataFrame) -> DataFrame:
+    """r6 Arrow/numpy execution of lang_trigram_df (guide §4.2): ONE
+    mapInPandas pass — utf8_lower (Arrow kernel), all docs of a batch
+    concatenated and decoded to UTF-32 so 3-codepoint windows are EXACTLY
+    the JVM substr(i, 3) trigrams, window codes packed into uint64
+    (3 x 21 bits), np.isin against the ~160 packed profile codes, distinct
+    (doc, trigram) via np.unique (the array_intersect dedup), weight
+    lookup by searchsorted, np.add.at score accumulation, np.select
+    argmax with the same sequential tie-break. Replaces a plan that
+    generated one JVM string allocation per character of every document
+    (transform + substr + array_intersect + explode + broadcast join +
+    4-column groupBy) with three numpy passes; output is bit-identical
+    (integer weights, same dedup, same tie-break; null-text docs are
+    absent in both)."""
+    langs = sorted(_TRIGRAM_PROFILES)
+    rows = [r for r in _langid_profile_rows() if r[0] != _LANGID_SENTINEL]
+
+    def pack(tri: str) -> int:
+        cs = [ord(c) for c in tri]
+        return (cs[0] << 42) | (cs[1] << 21) | cs[2]
+
+    prof = sorted((pack(tri), ws) for tri, *ws in rows)
+    prof_codes = np.array([c for c, _ in prof], dtype=np.uint64)
+    prof_w = np.array([w for _, w in prof], dtype=np.int64)  # (160, 4)
+
+    schema = ("doc_id long, " +
+              ", ".join(f"score_{lg} int" for lg in langs) +
+              ", lang_id string")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            low = pc.utf8_lower(pa.array(pdf["text"], type=pa.string()))
+            texts = low.to_pylist()
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            live = [i for i, t in enumerate(texts) if t is not None]
+            if not live:
+                continue
+            padded = [" " + texts[i] + " " for i in live]
+            lens = np.array([len(p) for p in padded], dtype=np.int64)
+            buf = np.frombuffer("".join(padded).encode("utf-32-le"),
+                                dtype="<u4").astype(np.uint64)
+            n = len(live)
+            scores = np.zeros((n, len(langs)), dtype=np.int64)
+            if buf.size >= 3:
+                doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+                valid = doc_of[:-2] == doc_of[2:]
+                codes = ((buf[:-2] << np.uint64(42)) |
+                         (buf[1:-1] << np.uint64(21)) | buf[2:])[valid]
+                docs_w = doc_of[:-2][valid]
+                hit = np.isin(codes, prof_codes)
+                if hit.any():
+                    hc, hd = codes[hit], docs_w[hit]
+                    # distinct (doc, trigram) — array_intersect dedups
+                    order = np.lexsort((hc, hd))
+                    hc, hd = hc[order], hd[order]
+                    keep = np.empty(hc.size, dtype=bool)
+                    keep[0] = True
+                    keep[1:] = (hc[1:] != hc[:-1]) | (hd[1:] != hd[:-1])
+                    hc, hd = hc[keep], hd[keep]
+                    widx = np.searchsorted(prof_codes, hc)
+                    np.add.at(scores, hd, prof_w[widx])
+            out = {"doc_id": doc_ids[live]}
+            for j, lg in enumerate(langs):
+                out[f"score_{lg}"] = scores[:, j].astype(np.int32)
+            s = [scores[:, j] for j in range(len(langs))]
+            conds = [np.logical_and.reduce(
+                        [s[i] >= s[j] for j in range(i + 1, len(langs))])
+                     for i in range(len(langs) - 1)]
+            out["lang_id"] = np.select(conds, langs[:-1], default=langs[-1])
+            yield pd.DataFrame(out)
+
+    return _rr(d.select("doc_id", "text")).mapInPandas(gen, schema)
+
+
 def lang_trigram(spark, sf_dir):
-    return lang_trigram_df(T(spark, sf_dir, "documents"))
+    return lang_trigram_np(T(spark, sf_dir, "documents"))
+
+
+def _simhash_np(d: DataFrame, n_bits_per_band: int, n_bands: int,
+                out_cols: list) -> DataFrame:
+    """Shared SimHash kernel (r6, guide §4.2): per doc, bit i of band j =
+    majority over token OCCURRENCES of bit i of the md5-hex nibble window
+    [4j, 4j+4) (or [0, 2) for the 8-bit variant). One Arrow/numpy pass:
+    tokenize via Arrow kernels, md5 only the batch-unique tokens
+    (synthetic vocab repeats heavily), per-unique bit matrix, per-doc bit
+    sums via np.add.reduceat over the doc-contiguous token stream,
+    majority threshold 2*sum > n. Replaces a 65-aggregate explode/groupBy
+    whose interpreted bit-extraction expressions evaluated 64 divisions
+    per token occurrence. Identical output: same md5 nibbles, same
+    integer majority rule, docs with zero tokens absent in both."""
+    import hashlib
+
+    hex_lo = 2 if n_bits_per_band == 8 else 4   # hex chars per band window
+    schema = "doc_id long, " + ", ".join(f"{c} int" for c in out_cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            t, parents, counts = _relops_flat_tokens(pdf["text"])
+            if t.size == 0:
+                continue
+            codes, uniq = pd.factorize(t)
+            # per-unique-token band values from the md5 hex digest
+            hv = np.empty((len(uniq), n_bands), dtype=np.int64)
+            for u_i, u in enumerate(uniq):
+                h = md5(u.encode("utf-8")).hexdigest()
+                for j in range(n_bands):
+                    hv[u_i, j] = int(h[hex_lo * j:hex_lo * j + hex_lo], 16)
+            # per-unique bit matrix (n_uniq, n_bands*n_bits) uint8
+            bits = np.empty((len(uniq), n_bands * n_bits_per_band),
+                            dtype=np.uint8)
+            for j in range(n_bands):
+                for i in range(n_bits_per_band):
+                    bits[:, j * n_bits_per_band + i] = \
+                        (hv[:, j] >> i) & 1
+            live = counts > 0
+            starts = np.concatenate(
+                ([0], np.cumsum(counts)[:-1]))[live].astype(np.int64)
+            sums = np.add.reduceat(bits[codes].astype(np.int32), starts,
+                                   axis=0)
+            n_tok = counts[live][:, None]
+            maj = (sums * 2 > n_tok)
+            out = {"doc_id": doc_ids[live]}
+            for j in range(n_bands):
+                w = maj[:, j * n_bits_per_band:(j + 1) * n_bits_per_band]
+                vals = (w * (1 << np.arange(n_bits_per_band,
+                                            dtype=np.int64))).sum(axis=1)
+                out[out_cols[j]] = vals.astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return _rr(d.select("doc_id", "text")).mapInPandas(gen, schema)
 
 
 def simhash8(spark, sf_dir):
     """8-bit SimHash fingerprint: per doc, bit i = majority over tokens of
     bit i of md5(token). Cross-engine deterministic because md5 is; the
-    LSH-style near-dup grouping key for fuzzy dedup."""
-    d = T(spark, sf_dir, "documents")
-    tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
-                      lambda x: x != "")
-    e = d.select("doc_id", F.explode(tokens).alias("term"))
-    h = F.conv(F.substring(F.md5(F.col("term")), 1, 2), 16, 10).cast("int")
-    e = e.select("doc_id", h.alias("hv"), F.lit(1).alias("one"))
-    aggs = [F.count("*").alias("n")]
-    for i in range(8):
-        aggs.append(F.sum(((F.col("hv") / (2 ** i)).cast("int") % 2))
-                    .alias(f"b{i}"))
-    g = e.groupBy("doc_id").agg(*aggs)
-    sig = sum([(F.when(F.col(f"b{i}") * 2 > F.col("n"), 2 ** i).otherwise(0))
-               for i in range(8)], F.lit(0))
-    return g.select("doc_id", sig.cast("int").alias("simhash8"))
+    LSH-style near-dup grouping key for fuzzy dedup. (r6: numpy kernel,
+    _simhash_np — the DuckDB oracle still computes the explode/groupBy
+    form so the algorithms cross-check.)"""
+    return _simhash_np(T(spark, sf_dir, "documents"), 8, 1, ["simhash8"])
 
 
 def simhash64_df(d: DataFrame) -> DataFrame:
@@ -612,26 +950,9 @@ def simhash64_df(d: DataFrame) -> DataFrame:
     Band representation doubles as the Hamming-ball LSH probe table:
     near-identical docs agree on most bits, so at least one 16-bit band
     collides with high probability (probed by simhash_band_candidates).
-    64-bit upgrade of simhash8 (VERDICT r1 #9); md5 keeps DuckDB agreeing."""
-    tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
-                      lambda x: x != "")
-    e = d.select("doc_id", F.explode(tokens).alias("term"))
-    hvs = [F.conv(F.substring(F.md5(F.col("term")), 4 * j + 1, 4), 16, 10)
-            .cast("int").alias(f"hv{j}") for j in range(4)]
-    e = e.select("doc_id", *hvs)
-    aggs = [F.count("*").alias("n")]
-    for j in range(4):
-        for i in range(16):
-            aggs.append(F.sum((F.col(f"hv{j}") / (2 ** i)).cast("int") % 2)
-                        .alias(f"b{j}_{i}"))
-    g = e.groupBy("doc_id").agg(*aggs)
-    sigs = []
-    for j in range(4):
-        sig = sum([(F.when(F.col(f"b{j}_{i}") * 2 > F.col("n"),
-                           2 ** i).otherwise(0)) for i in range(16)],
-                  F.lit(0))
-        sigs.append(sig.cast("int").alias(f"sh{j}"))
-    return g.select("doc_id", *sigs)
+    64-bit upgrade of simhash8 (VERDICT r1 #9); md5 keeps DuckDB agreeing.
+    r6: executed by the shared numpy kernel (_simhash_np)."""
+    return _simhash_np(d, 16, 4, [f"sh{j}" for j in range(4)])
 
 
 def simhash64(spark, sf_dir):
@@ -684,45 +1005,21 @@ def ann_cosine_lsh_probe(spark, sf_dir):
 
 def _ann_lsh(spark, sf_dir, k, probe):
     emb = T(spark, sf_dir, "embeddings")
-    first = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    dim = len(first)
-
-    def plane(p):
-        # deterministic pseudo-random hyperplane from EXACT integer
-        # arithmetic (identical doubles in DuckDB — libm cos() may differ
-        # in the last ulp and flip a sign bit at the bucket boundary)
-        return [((j + 1) * (p * 7 + 3) * 2654435761 % 1000 - 500) / 250.0
-                for j in range(dim)]
-
-    def dot_with(vals):
-        lit = F.array(*[F.lit(v) for v in vals])
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), lit,
-                       lambda a, b: a.cast("double") * b.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    bucket = sum([(F.when(dot_with(plane(p)) >= 0, 2 ** p).otherwise(0))
-                  for p in range(4)], F.lit(0)).alias("bucket")
-    with_b = emb.select("vec_id", "embedding", bucket)
-    qb = with_b.where(F.col("vec_id") == 0).select(
-        F.col("bucket").alias("qbucket"),
-        F.col("embedding").alias("qe")).first()
-    qe, qbucket = qb["qe"], qb["qbucket"]
-    qlit = F.array(*[F.lit(float(x)) for x in qe])
-    dot = F.aggregate(F.zip_with(F.col("embedding"), qlit,
-                                 lambda a, b: a.cast("double") * b.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = F.sqrt(F.aggregate(
-        F.transform(F.col("embedding"), lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    qn = float(sum(float(x) * float(x) for x in qe)) ** 0.5
-    cos = dot / (nrm * F.lit(qn))
+    qe = emb.where(F.col("vec_id") == 0) \
+            .select("embedding").first()["embedding"]
+    dim = len(qe)
+    planes = np.array([_lsh_plane(p, dim) for p in range(4)]).T  # (dim, 4)
+    # query bucket driver-side: same integer planes, same fold order as
+    # the kernel — no extra full-table job just to read one row's bucket
+    qbucket = sum((1 << p) for p in range(4)
+                  if _py_fold_dot(qe, planes[:, p]) >= 0)
     buckets = [qbucket]
     if probe:
         buckets += [qbucket ^ (1 << p) for p in range(4)]
-    return (with_b.where(F.col("bucket").isin(buckets)
-                         & (F.col("vec_id") != 0))
-            .select("vec_id", cos.alias("_exact"))
+    sc = _emb_lsh_np(emb, planes, [4], ["bucket"], qe)
+    return (sc.where(F.col("bucket").isin(buckets)
+                     & (F.col("vec_id") != 0))
+            .select("vec_id", "_exact")
             .orderBy(F.desc("_exact"), F.asc("vec_id")).limit(k)
             .select("vec_id", F.round("_exact", 6).alias("cosine")))
 
@@ -748,50 +1045,30 @@ def ann_cosine_lsh_multi(spark, sf_dir):
 
 def _ann_lsh_multi(spark, sf_dir, k, n_tables, n_planes):
     emb = T(spark, sf_dir, "embeddings")
-    first = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    dim = len(first)
-
-    def plane(p):
-        return [((j + 1) * (p * 7 + 3) * 2654435761 % 1000 - 500) / 250.0
-                for j in range(dim)]
-
-    def dot_with(vals):
-        lit = F.array(*[F.lit(v) for v in vals])
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), lit,
-                       lambda a, b: a.cast("double") * b.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    def bucket_col(t):
-        return sum([(F.when(dot_with(plane(t * n_planes + i)) >= 0,
-                            2 ** i).otherwise(0))
-                    for i in range(n_planes)], F.lit(0)).alias(f"b{t}")
-
-    with_b = emb.select("vec_id", "embedding",
-                        *[bucket_col(t) for t in range(n_tables)])
-    q = with_b.where(F.col("vec_id") == 0).first()
-    qe = q["embedding"]
-    qlit = F.array(*[F.lit(float(x)) for x in qe])
-    dot = F.aggregate(F.zip_with(F.col("embedding"), qlit,
-                                 lambda a, b: a.cast("double") * b.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = F.sqrt(F.aggregate(
-        F.transform(F.col("embedding"), lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    qn = float(sum(float(x) * float(x) for x in qe)) ** 0.5
-    cos = dot / (nrm * F.lit(qn))
+    qe = emb.where(F.col("vec_id") == 0) \
+            .select("embedding").first()["embedding"]
+    dim = len(qe)
+    planes = np.array([_lsh_plane(p, dim)
+                       for p in range(n_tables * n_planes)]).T
+    qb = [sum((1 << i) for i in range(n_planes)
+              if _py_fold_dot(qe, planes[:, t * n_planes + i]) >= 0)
+          for t in range(n_tables)]
     # ONE scan with an OR-of-band-equalities predicate (VERDICT r3 #5):
     # the candidate set is identical to the 16-way union of per-table
     # lookups, but the embeddings table is read once and no distinct
     # shuffle is needed (a row matches the predicate once, however many
     # tables agree). On the materialized path (ann.py) the same predicate
     # becomes a partition-pruned read of the (t, b)-partitioned table.
+    # r6: all 48 plane dots + the cosine come from the single numpy
+    # kernel pass instead of ~50 interpreted folds per row.
+    sc = _emb_lsh_np(emb, planes, [n_planes] * n_tables,
+                     [f"b{t}" for t in range(n_tables)], qe)
     cond = None
     for t in range(n_tables):
-        c = F.col(f"b{t}") == int(q[f"b{t}"])
+        c = F.col(f"b{t}") == int(qb[t])
         cond = c if cond is None else (cond | c)
-    cand = with_b.where(cond & (F.col("vec_id") != 0))
-    return (cand.select("vec_id", cos.alias("_exact"))
+    cand = sc.where(cond & (F.col("vec_id") != 0))
+    return (cand.select("vec_id", "_exact")
                 .orderBy(F.desc("_exact"), F.asc("vec_id")).limit(k)
                 .select("vec_id", F.round("_exact", 6).alias("cosine")))
 
@@ -814,43 +1091,67 @@ def dedup_embedding_pairs(spark, sf_dir, threshold: float = 0.3,
     emb = T(spark, sf_dir, "embeddings")
     first = emb.select("embedding").first()["embedding"]
     dim = len(first)
+    planes = np.array([_lsh_plane(p, dim) for p in range(8)]).T  # (dim, 8)
+    etype = emb.schema["embedding"].dataType.simpleString()
 
-    def plane(p):
-        return [((j + 1) * (p * 7 + 3) * 2654435761 % 1000 - 500) / 250.0
-                for j in range(dim)]
+    # r6: bucket sign bits + the row norm from one numpy kernel pass
+    # (same bitwise-exact column fold as _emb_lsh_np), embedding carried
+    # through; the pair cosine after the bucket join is a second
+    # vectorized pass instead of an interpreted 64-element fold per pair.
+    def with_bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy())
+            n = E.shape[0]
+            D = np.zeros((n, 8), dtype=np.float64)
+            ss = np.zeros(n, dtype=np.float64)
+            for j in range(dim):
+                c = E[:, j].astype(np.float64)
+                D += c[:, None] * planes[j][None, :]
+                ss += c * c
+            b = np.zeros(n, dtype=np.int64)
+            for i in range(8):
+                b |= (D[:, i] >= 0).astype(np.int64) << i
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                "embedding": pdf["embedding"],
+                "bucket": b.astype(np.int32),
+                "nrm": np.sqrt(ss)})
 
-    def dot_with(vals):
-        lit = F.array(*[F.lit(v) for v in vals])
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), lit,
-                       lambda a, b: a.cast("double") * b.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    bucket = sum([(F.when(dot_with(plane(p)) >= 0, 2 ** p).otherwise(0))
-                  for p in range(8)], F.lit(0)).alias("bucket")
-    nrm = F.sqrt(F.aggregate(
-        F.transform(F.col("embedding"),
-                    lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    eb = _cap_buckets(emb.select("vec_id", "embedding", bucket,
-                                 nrm.alias("nrm")),
-                      ["bucket"], max_bucket)
+    eb = _cap_buckets(
+        _rr(emb.select("vec_id", "embedding")).mapInPandas(
+            with_bucket,
+            f"vec_id long, embedding {etype}, bucket int, nrm double"),
+        ["bucket"], max_bucket)
     a = eb.select(F.col("vec_id").alias("vec_a"),
                   F.col("embedding").alias("ea"),
                   F.col("nrm").alias("na"), "bucket")
     b = eb.select(F.col("vec_id").alias("vec_b"),
                   F.col("embedding").alias("eb"),
                   F.col("nrm").alias("nb"), "bucket")
-    dot = F.aggregate(
-        F.zip_with(F.col("ea"), F.col("eb"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    cos = dot / (F.col("na") * F.col("nb"))
-    return (a.join(b, "bucket")
-             .where(F.col("vec_a") < F.col("vec_b"))
-             .select("vec_a", "vec_b", cos.alias("_c"))
-             .where(F.col("_c") >= threshold)
-             .select("vec_a", "vec_b", F.round("_c", 6).alias("cosine")))
+
+    def pair_cos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            EA = np.stack(pdf["ea"].to_numpy())
+            EB = np.stack(pdf["eb"].to_numpy())
+            dot = np.zeros(EA.shape[0], dtype=np.float64)
+            for j in range(dim):
+                dot += EA[:, j].astype(np.float64) * \
+                    EB[:, j].astype(np.float64)
+            cos = dot / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
+            yield pd.DataFrame({"vec_a": pdf["vec_a"].to_numpy(np.int64),
+                                "vec_b": pdf["vec_b"].to_numpy(np.int64),
+                                "_c": cos})
+
+    pairs = (a.join(b, "bucket")
+              .where(F.col("vec_a") < F.col("vec_b"))
+              .select("vec_a", "vec_b", "ea", "eb", "na", "nb"))
+    return (pairs.mapInPandas(pair_cos, "vec_a long, vec_b long, _c double")
+                 .where(F.col("_c") >= threshold)
+                 .select("vec_a", "vec_b", F.round("_c", 6).alias("cosine")))
 
 
 BPE_PRETOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+"
