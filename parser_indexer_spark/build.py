@@ -245,10 +245,11 @@ def build_index(
     # Small inputs (bench scale) arrive in fewer scan partitions than cores;
     # widen once so every downstream stage parallelizes. At real scale the
     # scan already has >= build_partitions splits and this no-ops. Count
-    # first: on a raw parquet scan Spark answers count() from footer
-    # metadata, so it is ~free before the repartition but a full shuffle
-    # execution after it.
-    n_input = transcripts.count()
+    # first (only where needed — r6: the doc_id_col path gets its exact
+    # count from the phase-A agg anyway, so the extra job is skipped): on
+    # a raw parquet scan Spark answers count() from footer metadata, so it
+    # is ~free before the repartition but a full execution after it.
+    n_input = transcripts.count() if doc_id_col is None else None
     if transcripts.rdd.getNumPartitions() < cfg.build_partitions:
         transcripts = transcripts.repartition(cfg.build_partitions)
 
@@ -472,8 +473,6 @@ def _write_impacts(spark: SparkSession, p: IndexPaths, seg: int,
     window over <= partitions*I rows per term."""
     if not imp_terms:
         return 0
-    from pyspark.sql import Window
-
     I, k1, b = cfg.impact_top, cfg.k1, cfg.b
     nb = cfg.n_buckets
     imp_df = spark.createDataFrame(
@@ -529,51 +528,58 @@ def _write_impacts(spark: SparkSession, p: IndexPaths, seg: int,
                     ignore_index=True)
             yield out
 
-    cand = sub.select("term", "doc_id", "tf", "dl") \
-              .mapInPandas(local_top, SCHEMA)
-    # persist: the write job's plan references cand from three branches
-    # (side / dropped / partition bounds); the cache makes the expensive
-    # local_top pass run once inside that single job
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        pos_rows = cand.where(F.col("doc_id") >= 0)
-        # stage-2 selection proxy: posting-weighted mean dl of the impact
-        # terms, computed driver-side from the census rows (r4: no extra
-        # Spark job — the short 4N build leg pays serial job round-trips
-        # ~3.4x harder than the N leg, so every removed job is wall
-        # efficiency). Any proxy is selection-only; bounds stay exact.
-        a2 = avgdl_proxy or 1.0
-        score = (F.col("tf") /
-                 (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(a2))))
-        w = Window.partitionBy("term").orderBy(score.desc(),
-                                               F.col("doc_id").asc())
-        ranked = pos_rows.withColumn("rn", F.row_number().over(w))
-        side = ranked.where(F.col("rn") <= I).drop("rn")
-        # excluded skyline: one row per (term, distinct excluded tf) with
-        # the min dl at that tf — candidates dropped at this global stage
-        # and the partitions' local skyline rows merge by the same rule
-        dropped = ranked.where(F.col("rn") > I).select("term", "tf", "dl")
-        part_sky = cand.where(F.col("doc_id") < 0).select("term", "tf", "dl")
-        sky = (dropped.unionByName(part_sky)
-               .groupBy("term", "tf").agg(F.min("dl").alias("dl"))
-               .select("term", F.lit(-1).cast("long").alias("doc_id"),
-                       "tf", "dl"))
-        # EVERY impact term additionally gets a (tf=0, dl=1) marker row —
-        # its presence is the per-(term, segment) coverage certificate the
-        # query path checks; tf=0 contributes a zero bound, so a term
-        # whose postings ALL fit in the sidecar is certified complete
-        marker = imp_df.select(
-            "term", F.lit(-1).cast("long").alias("doc_id"),
-            F.lit(0).cast("int").alias("tf"), F.lit(1).cast("int").alias("dl"))
-        bound_rows = sky.unionByName(marker) \
-                        .join(F.broadcast(imp_df), "term") \
-                        .select("term", "doc_id", "tf", "dl", "bucket")
-        out = side.join(F.broadcast(imp_df), "term") \
-                  .select("term", "doc_id", "tf", "dl", "bucket") \
-                  .unionByName(bound_rows)
-        CATALOG.write_table(out, p.impacts_seg(seg), partition_by="bucket")
-    finally:
-        cand.unpersist()
+    # stage-2 selection proxy: posting-weighted mean dl of the impact
+    # terms, computed driver-side from the census rows (r4: no extra
+    # Spark job). Any proxy is selection-only; bounds stay exact.
+    a2 = float(avgdl_proxy or 1.0)
+    bucket_of = {t: term_bucket(t, nb) for t in imp_terms}
+    OUT_SCHEMA = "term string, doc_id long, tf int, dl int, bucket int"
+
+    def final_select(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # r6: stage 2 as ONE grouped-map stage (was: persist + window +
+        # two unions + two broadcast joins — four codegen stages and an
+        # extra job per build). Selection and skyline merge are identical:
+        # global top-I by (proxy score desc, doc_id asc); one bound row
+        # per distinct excluded tf with the min dl at that tf, merging the
+        # rows dropped here with the partitions' local skyline rows; plus
+        # the (tf=0, dl=1) coverage-certificate marker every term gets.
+        t = key[0]
+        bkt = bucket_of[t]
+        pos = pdf[pdf["doc_id"] >= 0]
+        d = pos["doc_id"].to_numpy(np.int64)
+        ta = pos["tf"].to_numpy(np.int64)
+        la = pos["dl"].to_numpy(np.int64)
+        s = ta / (ta + k1 * (1.0 - b + b * la / a2))
+        order = np.lexsort((d, -s))
+        keep, excl = order[:I], order[I:]
+        sky: dict = {}
+        for tfv, dlv in zip(ta[excl].tolist(), la[excl].tolist()):
+            prev = sky.get(tfv)
+            if prev is None or dlv < prev:
+                sky[tfv] = dlv
+        neg = pdf[pdf["doc_id"] < 0]
+        for tfv, dlv in zip(neg["tf"].tolist(), neg["dl"].tolist()):
+            prev = sky.get(tfv)
+            if prev is None or dlv < prev:
+                sky[tfv] = dlv
+        sky_tfs = sorted(sky)
+        return pd.DataFrame({
+            "term": t,
+            "doc_id": np.concatenate([d[keep],
+                                      np.full(len(sky_tfs) + 1, -1,
+                                              dtype=np.int64)]),
+            "tf": np.concatenate([ta[keep], np.array(sky_tfs, np.int64),
+                                  [0]]).astype(np.int32),
+            "dl": np.concatenate([la[keep],
+                                  np.array([sky[x] for x in sky_tfs],
+                                           np.int64), [1]]).astype(np.int32),
+            "bucket": np.int32(bkt),
+        })
+
+    out = sub.select("term", "doc_id", "tf", "dl") \
+             .mapInPandas(local_top, SCHEMA) \
+             .groupBy("term").applyInPandas(final_select, OUT_SCHEMA)
+    CATALOG.write_table(out, p.impacts_seg(seg), partition_by="bucket")
     return len(imp_terms)
 
 

@@ -214,4 +214,9 @@ def media_byte_stats(media: DataFrame) -> DataFrame:
                 "h_other": (lens - h_am - h_nz - h_dg).astype(np.int32),
             })
 
-    return media.select("doc_id", "data").mapInPandas(stage, BYTESTATS_SCHEMA)
+    from parser_indexer_spark.relops import _rr
+    # r6: parallelism floor — the synthetic media table derives from the
+    # single-row-group documents scan, so the (vectorized) stage otherwise
+    # runs on one task at bench scale
+    return _rr(media.select("doc_id", "data")) \
+        .mapInPandas(stage, BYTESTATS_SCHEMA)

@@ -215,7 +215,7 @@ def str_tokens(spark, sf_dir):
     def tok(texts: pd.Series) -> pd.Series:
         return tokenize_series(texts)
 
-    d = T(spark, sf_dir, "documents")
+    d = _rr(T(spark, sf_dir, "documents").select("text"))  # r6: 1-RG scan
     return (d.select(F.explode(tok(F.col("text"))).alias("term"))
              .groupBy("term").agg(F.count("*").alias("n_occurrences")))
 
@@ -604,7 +604,8 @@ def quality_score(spark, sf_dir):
     """Document quality heuristics: token count, mean token length,
     stopword ratio, digit ratio — pure JVM expressions, fully
     SQL-expressible (training-data pipeline quality gate)."""
-    d = T(spark, sf_dir, "documents")
+    d = _rr(T(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars", "text"))  # r6: 1-RG scan floor
     tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
                       lambda x: x != "")
     n_tok = F.size(tokens)
@@ -624,7 +625,8 @@ def quality_score(spark, sf_dir):
 def token_stats(spark, sf_dir):
     """Corpus token accounting: docs, total tokens, distinct terms per
     source partition (the 'how big is my training set' query)."""
-    d = T(spark, sf_dir, "documents")
+    d = _rr(T(spark, sf_dir, "documents")
+            .select("source", "text"))  # r6: 1-RG scan floor
     tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
                       lambda x: x != "")
     e = d.select("source", F.explode(tokens).alias("term"))
@@ -637,13 +639,15 @@ def lang_guess(spark, sf_dir):
     """Heuristic language ID over a known tiny phrasebook: argmax by hit
     count of per-language marker words; deterministic tie-break by language
     code. (The real corpus text is English-ish synthetic, so the guess
-    column mostly exercises the machinery: CASE/array ops, argmax.)"""
+    column mostly exercises the machinery: CASE/array ops, argmax.)
+    r6: _rr parallelism floor only — the 3x size(filter(...)) passes are
+    cheap enough once they are not single-task."""
     markers = {
         "en": ["the", "fast", "small"],
         "es": ["agg", "data", "dup"],
         "de": ["hash", "window", "stream"],
     }
-    d = T(spark, sf_dir, "documents")
+    d = _rr(T(spark, sf_dir, "documents").select("doc_id", "text"))
     tokens = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
                       lambda x: x != "")
     hits = {}
@@ -1163,7 +1167,8 @@ def token_count_bpe(spark, sf_dir):
     contractions | space?+letters | space?+digits | space?+punct-run),
     RE2-compatible (no lookahead) so DuckDB counts identically. The
     'how many tokens is my corpus' query of every training-data budget."""
-    d = T(spark, sf_dir, "documents")
+    d = _rr(T(spark, sf_dir, "documents")
+            .select("doc_id", "text"))  # r6: 1-RG scan floor
     n = F.size(F.regexp_extract_all(F.lower(F.col("text")),
                                     F.lit(BPE_PRETOKEN_RE), 0))
     return (d.select("doc_id", n.alias("n_bpe_tokens"))
@@ -1178,17 +1183,31 @@ FP_BASE, FP_MOD = 31, 2147483647  # Horner rolling hash, overflow-safe in i64
 
 def fingerprint_rolling(spark, sf_dir):
     """Document fingerprinting via polynomial rolling hash (Karp-Rabin/
-    Horner: fp = fold(acc*B + byte) mod p). Pure JVM higher-order functions
-    — aggregate over the char-code sequence — so DuckDB's list_reduce
-    agrees exactly. acc*31+255 < 2^36 keeps ANSI long arithmetic safe."""
+    Horner: fp = fold(acc*B + code) mod p), matching DuckDB's list_reduce
+    exactly. r6: the fold runs in the Python worker (guide §4.2) — integer
+    arithmetic is exact in both engines, the per-character JVM expression
+    tree (substring + ascii + lambda per char) was the cost, not the math.
+    ord(ch) == F.ascii(ch) for every code point; empty/null text -> 0 as
+    before (the JVM form guarded sequence(1, 0) with a when())."""
     d = T(spark, sf_dir, "documents")
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(F.col("text"))),
-        lambda i: F.ascii(F.substring(F.col("text"), i, 1)).cast("long"))
-    fp = F.aggregate(codes, F.lit(0).cast("long"),
-                     lambda acc, x: (acc * FP_BASE + x) % FP_MOD)
-    fp = F.when(F.length(F.col("text")) > 0, fp).otherwise(F.lit(0).cast("long"))
-    return d.select("doc_id", fp.alias("fp_roll"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            fps = np.empty(len(pdf), dtype=np.int64)
+            for i, t in enumerate(pdf["text"]):
+                acc = 0
+                if isinstance(t, str):
+                    for ch in t:
+                        acc = (acc * FP_BASE + ord(ch)) % FP_MOD
+                fps[i] = acc
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "fp_roll": fps})
+
+    return _rr(d.select("doc_id", "text")) \
+        .mapInPandas(gen, "doc_id long, fp_roll long")
 
 
 def median_udaf(spark, sf_dir):
