@@ -220,8 +220,20 @@ def main(argv=None) -> int:
     elif args.cmd == "upsert":
         from parser_indexer_spark.config import EngineConfig
         from parser_indexer_spark.incremental import upsert_segment
-        cfg = EngineConfig(n_buckets=args.buckets,
-                           build_partitions=args.partitions)
+        from parser_indexer_spark.manifest import CATALOG
+        # ADVICE r5 (high): when the index exists, the appended segment
+        # MUST use the committed config — CLI defaults would tokenize/
+        # bucket/encode it differently AND finalize would overwrite the
+        # manifest config, silently corrupting queries over old segments.
+        try:
+            committed = CATALOG.load_snapshot(args.index)["config"]
+        except FileNotFoundError:
+            committed = None
+        if committed is not None:
+            cfg = EngineConfig.from_dict(committed)
+        else:
+            cfg = EngineConfig(n_buckets=args.buckets,
+                               build_partitions=args.partitions)
         batch = spark.read.parquet(args.input)
         t0 = time.perf_counter()
         man = upsert_segment(spark, args.index, batch, cfg,

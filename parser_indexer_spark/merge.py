@@ -151,7 +151,11 @@ def merge_index(spark: SparkSession, src_root: str, dst_root: str,
                       .join(F.broadcast(del_df), "doc_id", "left_anti")
         CATALOG.write_table(docs, dp.docs, partition_by="seg")
         docs_meta = CATALOG.read_meta(sp.docs_marker)
-        docs_meta["n_docs"] = int(docs_meta["n_docs"]) - int(tombstones.size)
+        # ADVICE r5 (low): count the rows that actually survived instead
+        # of trusting the tombstone count — a bogus id in the tombstone
+        # set must not understate n_docs (idf/avg_dl for every query).
+        # Footer-metadata count over the just-written table: ~free.
+        docs_meta["n_docs"] = CATALOG.read_table(spark, dp.docs).count()
         docs_meta["segments"] = 1
         CATALOG.write_meta(dp.docs_marker, docs_meta)
 
@@ -250,17 +254,22 @@ def compact_segments(spark: SparkSession, root: str, segs: list[int],
             in_range |= (ts >= live[sg]["doc_lo"]) & \
                         (ts <= live[sg]["doc_hi"])
         purged, remaining = ts[in_range], ts[~in_range]
+        n_removed = 0
         if purged.size:
             del_df = spark.createDataFrame(
                 pd.DataFrame({"doc_id": purged}), "doc_id long")
             tf = tf.join(F.broadcast(del_df), "doc_id", "left_anti")
             # doc-store rows of purged ids: rewrite ONLY the doc-store
             # partitions that contain them (dynamic partition overwrite —
-            # untouched partitions keep their files)
+            # untouched partitions keep their files). ADVICE r5 (low):
+            # count the rows actually removed in the same semi-join pass —
+            # a bogus tombstone id must not understate n_docs.
             docs = CATALOG.read_table(spark, p.docs)
-            hit = [r["seg"] for r in
-                   docs.join(F.broadcast(del_df), "doc_id", "left_semi")
-                       .select("seg").distinct().collect()]
+            hit_rows = (docs.join(F.broadcast(del_df), "doc_id",
+                                  "left_semi")
+                        .groupBy("seg").count().collect())
+            hit = [r["seg"] for r in hit_rows]
+            n_removed = int(sum(r["count"] for r in hit_rows))
             if hit:
                 CATALOG.write_table(
                     docs.where(F.col("seg").isin(hit))
@@ -278,7 +287,7 @@ def compact_segments(spark: SparkSession, root: str, segs: list[int],
     meta["segments"] = new_seg + 1
     deletes_left = None
     if purged is not None and purged.size:
-        meta["n_docs"] = int(meta["n_docs"]) - int(purged.size)
+        meta["n_docs"] = int(meta["n_docs"]) - n_removed
     if remaining is not None and remaining.size:
         gen = int(dels["gen"]) + 1
         CATALOG.write_table(
@@ -297,4 +306,9 @@ def compact_segments(spark: SparkSession, root: str, segs: list[int],
         shutil.rmtree(p.dict_seg(s), ignore_errors=True)
         shutil.rmtree(p.impacts_seg(s), ignore_errors=True)
         os.remove(p.segment_manifest(s))
+    if dels and dels.get("n"):
+        # ADVICE r5 (low): the superseded tombstone generation is no
+        # longer referenced by the committed manifest — drop it
+        shutil.rmtree(deletes_path(root, int(dels["gen"])),
+                      ignore_errors=True)
     return manifest

@@ -837,14 +837,14 @@ def lang_trigram_np(d: DataFrame) -> DataFrame:
             low = pc.utf8_lower(pa.array(pdf["text"], type=pa.string()))
             texts = low.to_pylist()
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            live = [i for i, t in enumerate(texts) if t is not None]
-            if not live:
-                continue
-            padded = [" " + texts[i] + " " for i in live]
+            # null text stays in the output with all-zero scores — the JVM
+            # twin's greatest(length(NULL)-2, 1) keeps the row alive (its
+            # single NULL window matches nothing, the sentinel scores 0)
+            padded = ["" if t is None else " " + t + " " for t in texts]
             lens = np.array([len(p) for p in padded], dtype=np.int64)
             buf = np.frombuffer("".join(padded).encode("utf-32-le"),
                                 dtype="<u4").astype(np.uint64)
-            n = len(live)
+            n = len(texts)
             scores = np.zeros((n, len(langs)), dtype=np.int64)
             if buf.size >= 3:
                 doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
@@ -864,7 +864,7 @@ def lang_trigram_np(d: DataFrame) -> DataFrame:
                     hc, hd = hc[keep], hd[keep]
                     widx = np.searchsorted(prof_codes, hc)
                     np.add.at(scores, hd, prof_w[widx])
-            out = {"doc_id": doc_ids[live]}
+            out = {"doc_id": doc_ids}
             for j, lg in enumerate(langs):
                 out[f"score_{lg}"] = scores[:, j].astype(np.int32)
             s = [scores[:, j] for j in range(len(langs))]

@@ -185,6 +185,14 @@ class Index:
         man = dict(self.manifest)
         man["deletes"] = {"gen": gen, "n": int(ids.size)}
         CATALOG.commit_snapshot(self.root, man)
+        # ADVICE r5 (low): superseded generations accumulate forever on
+        # long-lived indexes — drop the previous one now that the manifest
+        # no longer references it (same post-commit cleanup pattern as
+        # compact_segments uses for old postings/dict dirs)
+        if gen > 1:
+            import shutil as _sh
+            _sh.rmtree(_deletes_path(self.root, gen - 1),
+                       ignore_errors=True)
         self.manifest = man
         self._tombstones = ids
         if self._denied_bc is not None:
@@ -1212,8 +1220,21 @@ class Index:
                 # metachars are ASCII so NFKD+lower is a no-op on them
                 pat = unicodedata.normalize("NFKD", c.text).lower()
                 return self.expand_regexp(pat, max_expansions)
-            toks = tokenize_py(c.text, self.cfg.stopwords)  # fuzzy
-            return self.expand_fuzzy(toks[-1], c.max_dist) if toks else []
+            if c.kind == "fuzzy":
+                toks = tokenize_py(c.text, self.cfg.stopwords)
+                return self.expand_fuzzy(toks[-1], c.max_dist) \
+                    if toks else []
+            # ADVICE r5 (medium): never silently mis-execute a clause kind
+            # this router does not handle (the old fall-through ran a
+            # MUST_NOT phrase as a fuzzy expansion of its last word)
+            raise ValueError(
+                f"unsupported clause kind {c.kind!r} in this position")
+
+        for n in neg:
+            if n.kind == "phrase":
+                raise ValueError(
+                    "phrase exclusion (-\"...\") is not implemented; "
+                    "MUST_NOT supports term/expansion clauses only")
 
         should: list[str] = []
         for c in pos:
