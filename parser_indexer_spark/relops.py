@@ -28,7 +28,7 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _rr(df: DataFrame) -> DataFrame:
+def _rr(df: DataFrame, probe: DataFrame | None = None) -> DataFrame:
     """Scale-adaptive parallelism floor for compute-heavy per-row operators
     (guide §2.2/§6): the testdata tables are single-row-group parquet files,
     which CANNOT be split below one scan task no matter what
@@ -37,9 +37,15 @@ def _rr(df: DataFrame) -> DataFrame:
     the session's default parallelism ONLY when the scan has fewer
     partitions; at real scale the scan already has more splits than cores
     and this no-ops (the bytes moved here are the pruned input columns,
-    megabytes — the compute they feed is seconds per core)."""
+    megabytes — the compute they feed is seconds per core).
+
+    ``probe``: optional CHEAP-plan stand-in whose partition count equals
+    ``df``'s — `.rdd.getNumPartitions()` forces full physical planning +
+    codegen of df's plan at CONSTRUCTION time (measured 9s on the near-dup
+    join pipeline, recompiled again at execution); probing the raw scan a
+    broadcast join preserves the partitioning of costs ~0.1s."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    if (probe if probe is not None else df).rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
 
@@ -304,7 +310,8 @@ def _relops_flat_tokens(texts: pd.Series):
 
 
 def _minhash_sigs_np(d: DataFrame, n_hashes: int, with_size: bool = False,
-                     n_bands: int = 0) -> DataFrame:
+                     n_bands: int = 0,
+                     explode_bands: bool = False) -> DataFrame:
     """(doc_id, sig0..sig{n-1}[, n_sh]) — MinHash signatures over token
     3-shingles in ONE Arrow/numpy pass (guide §4.2: batch work to native
     kernels instead of interpreted JVM HOF chains; the prior expression
@@ -318,17 +325,28 @@ def _minhash_sigs_np(d: DataFrame, n_hashes: int, with_size: bool = False,
     DISTINCT shingle count per doc (what exact-Jaccard needs).
     ``n_bands`` > 0 additionally emits bh0..bh{n_bands-1} — the LSH band
     hashes md5(sig_{b*r} || '|' || ... ) — in the same pass, so the band
-    join consumes plain columns instead of a JVM md5-expression stage."""
+    join consumes plain columns instead of a JVM md5-expression stage.
+    ``explode_bands`` instead emits n_bands NARROW rows per doc
+    (doc_id[, n_sh], band, bh) straight from the kernel: the candidate
+    pipeline then carries no unused signature columns (r6: the wide
+    cached relation + band-struct explode dominated the generated-code
+    volume of the near-dup plan)."""
     import hashlib
 
     prefixes = [f"s{i}:".encode("utf-8") for i in range(n_hashes)]
     rows_per = n_hashes // n_bands if n_bands else 0
-    schema = "doc_id long, " + \
-        ", ".join(f"sig{i} string" for i in range(n_hashes))
-    if with_size:
-        schema += ", n_sh int"
-    if n_bands:
-        schema += ", " + ", ".join(f"bh{b} string" for b in range(n_bands))
+    if explode_bands:
+        assert n_bands > 0
+        schema = "doc_id long" + (", n_sh int" if with_size else "") + \
+            ", band int, bh string"
+    else:
+        schema = "doc_id long, " + \
+            ", ".join(f"sig{i} string" for i in range(n_hashes))
+        if with_size:
+            schema += ", n_sh int"
+        if n_bands:
+            schema += ", " + \
+                ", ".join(f"bh{b} string" for b in range(n_bands))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         md5 = hashlib.md5
@@ -359,20 +377,35 @@ def _minhash_sigs_np(d: DataFrame, n_hashes: int, with_size: bool = False,
                 cols[f"sig{i}"] = H[i][cc]
             g = pd.DataFrame(cols).groupby("_p", sort=True)
             mins = g.min()
-            out = {"doc_id": doc_ids[mins.index.to_numpy()]}
-            for i in range(n_hashes):
-                out[f"sig{i}"] = mins[f"sig{i}"].to_numpy()
-            if with_size:
-                out["n_sh"] = g.size().to_numpy().astype(np.int32)
+            sig_arrs = [mins[f"sig{i}"].to_numpy()
+                        for i in range(n_hashes)]
+            bh_arrs = []
             for b in range(n_bands):
-                segs = [out[f"sig{b * rows_per + r}"]
-                        for r in range(rows_per)]
-                joined = segs[0]
-                for s in segs[1:]:
-                    joined = joined + "|" + s
-                out[f"bh{b}"] = np.fromiter(
+                joined = sig_arrs[b * rows_per]
+                for r in range(1, rows_per):
+                    joined = joined + "|" + sig_arrs[b * rows_per + r]
+                bh_arrs.append(np.fromiter(
                     (md5(x.encode("utf-8")).hexdigest() for x in joined),
-                    dtype=object, count=len(joined))
+                    dtype=object, count=len(joined)))
+            ids = doc_ids[mins.index.to_numpy()]
+            nsh = g.size().to_numpy().astype(np.int32) if with_size \
+                else None
+            if explode_bands:
+                nd = len(ids)
+                out = {"doc_id": np.tile(ids, n_bands)}
+                if with_size:
+                    out["n_sh"] = np.tile(nsh, n_bands)
+                out["band"] = np.repeat(
+                    np.arange(n_bands, dtype=np.int32), nd)
+                out["bh"] = np.concatenate(bh_arrs)
+            else:
+                out = {"doc_id": ids}
+                for i in range(n_hashes):
+                    out[f"sig{i}"] = sig_arrs[i]
+                if with_size:
+                    out["n_sh"] = nsh
+                for b in range(n_bands):
+                    out[f"bh{b}"] = bh_arrs[b]
             yield pd.DataFrame(out)
 
     return _rr(d.select("doc_id", "text")).mapInPandas(gen, schema)
@@ -387,7 +420,8 @@ def minhash_signature(spark, sf_dir):
     return _minhash_sigs_np(T(spark, sf_dir, "documents"), 4)
 
 
-def _shingle_rows_np(d: DataFrame) -> DataFrame:
+def _shingle_rows_np(d: DataFrame,
+                     probe: DataFrame | None = None) -> DataFrame:
     """DISTINCT (doc_id, shingle) rows over token 3-shingles — the set view
     exact-Jaccard verification joins on. Same Arrow/numpy kernel as
     _minhash_sigs_np (shared tokenizer, per-batch dedup), no corpus-wide
@@ -409,7 +443,7 @@ def _shingle_rows_np(d: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": doc_ids[par],
                                 "shingle": sh}).drop_duplicates()
 
-    return _rr(d.select("doc_id", "text")) \
+    return _rr(d.select("doc_id", "text"), probe=probe) \
         .mapInPandas(gen, "doc_id long, shingle string")
 
 
@@ -439,22 +473,20 @@ def lsh_oversized_buckets(d: DataFrame, n_hashes: int = 8, n_bands: int = 4,
                  .where(F.col("size") > max_bucket))
 
 
-def _band_rows(sigs: DataFrame, n_bands: int,
-               extra: tuple = ()) -> DataFrame:
-    """(doc_id, band, bh[, extra...]) exploded from the bh0..bh{n-1}
-    columns _minhash_sigs_np(n_bands=...) precomputed — plain-column
-    explode, no expression stage."""
-    band_structs = [
-        F.struct(F.lit(b).alias("band"), F.col(f"bh{b}").alias("bh"))
-        for b in range(n_bands)]
-    return (sigs.select("doc_id", *extra,
-                        F.explode(F.array(*band_structs)).alias("x"))
-                .select("doc_id", *extra, "x.band", "x.bh"))
+def _minhash_band_rows_np(d: DataFrame, n_hashes: int, n_bands: int,
+                          with_size: bool = False) -> DataFrame:
+    """(doc_id[, n_sh], band, bh) — the LSH band rows EXPLODED inside the
+    signature kernel (n_bands rows per doc emitted from Python), so the
+    candidate pipeline consumes a 3-4 column table with no JVM explode
+    stage and no unused signature columns in the cached relation (r6:
+    the wide 13-column cache + band-struct explode dominated the plan's
+    generated-code volume)."""
+    return _minhash_sigs_np(d, n_hashes, with_size=with_size,
+                            n_bands=n_bands, explode_bands=True)
 
 
 def _minhash_bands(d: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
-    return _band_rows(_minhash_sigs_np(d, n_hashes, n_bands=n_bands),
-                      n_bands)
+    return _minhash_band_rows_np(d, n_hashes, n_bands)
 
 
 def near_dup_pairs(d: DataFrame, n_hashes: int = 8, n_bands: int = 4,
@@ -483,10 +515,10 @@ def near_dup_pairs(d: DataFrame, n_hashes: int = 8, n_bands: int = 4,
     so banding/cap/candidates/sizes all reuse it; the exact-Jaccard
     verification re-shingles ONLY candidate docs (broadcast semi-join
     pushed below the shingle projection), not the whole corpus."""
-    sigs = _minhash_sigs_np(d, n_hashes, with_size=True, n_bands=n_bands) \
+    band_rows = _minhash_band_rows_np(d, n_hashes, n_bands,
+                                      with_size=True) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    bands = _cap_buckets(_band_rows(sigs, n_bands, extra=("n_sh",)),
-                         ["band", "bh"], max_bucket)
+    bands = _cap_buckets(band_rows, ["band", "bh"], max_bucket)
     # n_sh rides along on the band rows, so the Jaccard denominator needs
     # no re-join against the size table afterwards (2 fewer join stages)
     ba = bands.select(F.col("doc_id").alias("doc_a"),
@@ -500,7 +532,11 @@ def near_dup_pairs(d: DataFrame, n_hashes: int = 8, n_bands: int = 4,
     cdocs = (cand.select(F.col("doc_a").alias("doc_id"))
                  .union(cand.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
-    sh = _shingle_rows_np(d.join(F.broadcast(cdocs), "doc_id", "left_semi")) \
+    # probe=d: the broadcast semi-join preserves the scan's partitioning,
+    # and probing the joined plan itself would compile the whole candidate
+    # pipeline at construction time (see _rr docstring)
+    sh = _shingle_rows_np(d.join(F.broadcast(cdocs), "doc_id", "left_semi"),
+                          probe=d) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -147,13 +147,21 @@ def main() -> None:
                      cap_explain(ix.search_facets("spark join",
                                                   ["role", "tool"]))))
 
-    # 12. r5: single-pass language ID — one Generate + broadcast join
-    # against the profile table (the r4 verdict's 160-contains() fix)
-    sections.append(("lang_trigram (r5 single-pass): expect ONE Generate "
-                     "(trigram explode) + BroadcastHashJoin against the "
-                     "~160-row profile table + pivot aggregate — no "
-                     "Contains cascade",
+    # 12. r6: language ID as ONE Arrow/numpy kernel pass — no Generate,
+    # no join, no aggregate (the r5 explode+join plan became a single
+    # MapInPandas; scores bit-identical, tests/test_r06_optim.py)
+    sections.append(("lang_trigram (r6 kernel): expect Scan -> (optional "
+                     "RoundRobin Exchange) -> ONE MapInPandas — no "
+                     "Generate, no join, no aggregate",
                      cap_explain(relops.lang_trigram(
+                         spark, "/root/testdata/sf0.001"))))
+
+    # 13. r6: minhash signatures — same single-kernel shape (was explode
+    # + groupBy with 4 md5 aggregates)
+    sections.append(("minhash_signature (r6 kernel): expect Scan -> "
+                     "RoundRobin Exchange -> ONE MapInPandas — no "
+                     "Generate, no HashAggregate",
+                     cap_explain(relops.minhash_signature(
                          spark, "/root/testdata/sf0.001"))))
 
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)",
