@@ -2173,23 +2173,38 @@ def _make_phrase_scorer(phrase_terms, idf_sum, k1, b, avg_dl, k, slop,
             if ub < theta - _PRUNE_EPS * max(1.0, abs(theta)):
                 return heap_docs, heap_scores
 
-        # decode each unique term: doc/tf/dl arrays + positional keys
+        # decode each unique term: doc/tf/dl arrays + positional keys.
+        # r6 (VERDICT r5 #4 sibling): batched — ONE decode_blocks call per
+        # column across the term's blocks (killing the per-block fixed
+        # cost, same as the main scorer and merge path); the per-posting
+        # position cumsum-reset works unchanged on the concatenated gap
+        # stream because position gaps are posting-local.
         per_term = {}
         tarr = rows["term"].to_numpy()
         for t in uniq:
             sel = rows[tarr == t]
-            ds, tfs_, ls, keys = [], [], [], []
-            for r in sel.itertuples():
-                n = int(r.num_docs)
-                d = delta_decode(decode(r.docs_enc, n), int(r.first_doc_id))
-                tf = decode(r.tfs_enc, n).astype(np.int64)
-                pos = _decode_positions(r.pos_enc, tf)
-                ds.append(d)
-                tfs_.append(tf)
-                ls.append(decode(r.dls_enc, n).astype(np.float64))
-                keys.append((np.repeat(d, tf) << _POS_BITS) | pos)
-            per_term[t] = (np.concatenate(ds), np.concatenate(ls),
-                           np.concatenate(keys))
+            ns = sel["num_docs"].to_numpy(dtype=np.int64)
+            d = delta_decode_blocks(
+                decode_blocks(sel["docs_enc"].to_numpy(), ns), ns,
+                sel["first_doc_id"].to_numpy(dtype=np.int64))
+            tf = decode_blocks(sel["tfs_enc"].to_numpy(), ns) \
+                .astype(np.int64)
+            ls = decode_blocks(sel["dls_enc"].to_numpy(), ns) \
+                .astype(np.float64)
+            block_starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+            npos_blk = np.add.reduceat(tf, block_starts)
+            gaps = decode_blocks(sel["pos_enc"].to_numpy(),
+                                 npos_blk).astype(np.int64)
+            cum = np.cumsum(gaps)
+            starts = np.concatenate(([0], np.cumsum(tf)[:-1])) \
+                .astype(np.int64)
+            base = cum[starts] - gaps[starts]
+            pos = cum - np.repeat(base, tf)
+            if pos.size and int(pos.max()) >= _POS_LIMIT:
+                raise ValueError(f"token position >= {_POS_LIMIT} "
+                                 "unsupported by phrase keys")
+            keys = (np.repeat(d, tf) << _POS_BITS) | pos
+            per_term[t] = (d, ls, keys)
 
         # AND pre-filter: docs containing every unique term
         common = None
