@@ -46,7 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from parser_indexer_spark.analyze import tokenize_py
 from parser_indexer_spark.build import read_dict, read_docs, read_postings, term_bucket
-from parser_indexer_spark.codec import decode, decode_blocks, delta_decode, delta_decode_blocks
+from parser_indexer_spark.codec import decode, decode_blocks, \
+    delta_decode_blocks
 from parser_indexer_spark.config import EngineConfig
 from parser_indexer_spark.deletes import deletes_path as _deletes_path, live_mask as _live_mask_arr, read_tombstones as _read_tombstones
 from parser_indexer_spark.manifest import CATALOG, IndexPaths

@@ -168,7 +168,6 @@ def test_array_tf_kernel_equals_jvm(edge_df):
     exp = _norm(edge_df.select("doc_id", F.explode(tokens).alias("term"))
                 .groupBy("doc_id", "term")
                 .agg(F.count("*").cast("long").alias("tf")))
-    from typing import Iterator
 
     def gen(batches):
         for pdf in batches:
